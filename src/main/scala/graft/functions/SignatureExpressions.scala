@@ -1,0 +1,276 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import HashUtil._
+
+/** Text → distinct hashed k-word shingles (`array<long>`, sorted).
+  *
+  * The per-document signature subject: the web-text analog of the
+  * reference's `location_key` inputs (reference/dupliganger/sam.py:55-80 —
+  * there the signature is built from alignment coordinates; here from
+  * k-gram content). Tokenization: maximal runs of letters/digits,
+  * ASCII-case-folded; each word FNV-1a+mix64 hashed; a shingle is the
+  * mix64-finalized polynomial combination of k consecutive word hashes.
+  * Documents with fewer than k words yield one shingle over all words;
+  * empty text yields an empty array (routed to rejects upstream).
+  *
+  * Single pass, allocation-light (ring buffer + open-address long set);
+  * CodegenFallback — the surrounding plan stays in whole-stage codegen and
+  * calls eval() for this leaf computation.
+  */
+case class ShingleHashes(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"shingle k must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    new GenericArrayData(ShingleHashes.compute(text, k, seed))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  private val Prime = 0x100000001B3L
+
+  def compute(text: String, k: Int, seed: Long): Array[Long] = {
+    val n = text.length
+    val ring = new Array[Long](k)
+    var words = 0
+    val set = new LongSet(math.max(16, n / 6))
+    var i = 0
+    while (i < n) {
+      // skip separators
+      while (i < n && !Character.isLetterOrDigit(text.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && Character.isLetterOrDigit(text.charAt(i))) i += 1
+        ring(words % k) = hashWord(text, start, i)
+        words += 1
+        if (words >= k) {
+          // polynomial combine of the last k word hashes, oldest first
+          var h = seed
+          var j = words - k
+          while (j < words) { h = h * Prime + ring(j % k); j += 1 }
+          set.add(mix64(h))
+        }
+      }
+    }
+    if (words > 0 && words < k) {
+      var h = seed
+      var j = 0
+      while (j < words) { h = h * Prime + ring(j); j += 1 }
+      set.add(mix64(h))
+    }
+    set.toSortedArray
+  }
+}
+
+/** Shingle-hash array → MinHash signature (`array<long>`, length `numHashes`).
+  *
+  * The signature column of the north_star: h_i(s) = a_i * mix64(s) + b_i
+  * with (a_i odd, b_i) drawn from a splitmix64 stream seeded at `seed` —
+  * a standard multiply-add universal family; signed-long comparison gives a
+  * consistent total order, which is all MinHash needs. Single pass over the
+  * shingle array updating all `numHashes` minima (the fast path vs
+  * numHashes re-scans). Empty shingle array → null signature (doc has no
+  * content to sign; upstream rejects handle it).
+  *
+  * Plays the role of the reference's UMI annotation stage
+  * (reference/dupliganger/remove_umi.py:183-251): lift a per-record random
+  * tag out of the payload into a typed key column.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == ArrayType(LongType, false) || child.dataType == ArrayType(LongType, true))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects ARRAY<BIGINT>, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  @transient private lazy val coeffA: Array[Long] = {
+    val a = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) { a(i) = streamAt(seed, 2L * i) | 1L; i += 1 }
+    a
+  }
+  @transient private lazy val coeffB: Array[Long] = {
+    val b = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) { b(i) = streamAt(seed, 2L * i + 1); i += 1 }
+    b
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m == 0) return null
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val a = coeffA; val b = coeffB
+    var j = 0
+    while (j < m) {
+      val s = mix64(arr.getLong(j))
+      var i = 0
+      while (i < numHashes) {
+        val h = a(i) * s + b(i)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Shingle-hash array → 64-bit SimHash fingerprint (`long`).
+  *
+  * Charikar fingerprint over unweighted shingle features: per bit,
+  * +1 / −1 vote from each shingle hash; result bit = sign of the vote sum.
+  * Near-duplicate test downstream is popcount(x ^ y) ≤ h (`bit_count` is a
+  * Spark built-in). Empty array → null.
+  */
+case class SimHash64(child: Expression, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == ArrayType(LongType, false) || child.dataType == ArrayType(LongType, true))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects ARRAY<BIGINT>, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m == 0) return null
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < m) {
+      var s = mix64(arr.getLong(j) ^ seed)
+      var b = 0
+      while (b < 64) {
+        if ((s & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        s >>>= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Text → winnowed rolling-hash fingerprints (`array<long>`, sorted
+  * distinct) for exact-substring duplicate detection (the north_star's
+  * suffix-array pass, re-expressed for distribution).
+  *
+  * Classic winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every
+  * `w`-char window with a polynomial rolling hash, then keep the minimum
+  * hash of each `win`-window of consecutive hashes (rightmost min). Any
+  * shared substring of length ≥ w + win − 1 between two documents is
+  * guaranteed to share ≥ 1 selected fingerprint — so "doc A's text is
+  * embedded verbatim in doc B" implies nearly all of A's fingerprints
+  * appear in B's. Containment score = |fp(A) ∩ fp(B)| / |fp(A)|, checked
+  * distributively by an explode-groupBy-join, then verified with a literal
+  * `contains` on the candidate pair (exactness restored — same guarantee a
+  * per-group suffix array would give, without the per-group memory wall).
+  */
+case class WinnowedFingerprints(child: Expression, w: Int, win: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(w >= 2 && win >= 1, s"need w>=2, win>=1; got w=$w win=$win")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnowed_fingerprints"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    new GenericArrayData(WinnowedFingerprints.compute(text, w, win, seed))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowedFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowedFingerprints {
+  private val Base = 0x100000001B3L
+
+  /** Rolling w-gram hashes + winnowing min-sampling. Case-folded but NOT
+    * whitespace-normalized: substring containment must stay literal so the
+    * final `contains` verification agrees with the sampling. */
+  def compute(text: String, w: Int, win: Int, seed: Long): Array[Long] = {
+    val n = text.length
+    if (n < w) return Array.emptyLongArray
+    val numGrams = n - w + 1
+    // basePowW = Base^w for the rolling subtract
+    var basePowW = 1L
+    var p = 0
+    while (p < w) { basePowW *= Base; p += 1 }
+    @inline def ch(i: Int): Long = {
+      val c = text.charAt(i).toInt
+      (if (c >= 'A' && c <= 'Z') c + 32 else c).toLong
+    }
+    val grams = new Array[Long](numGrams)
+    var h = 0L
+    var i = 0
+    while (i < w) { h = h * Base + ch(i); i += 1 }
+    grams(0) = mix64(h ^ seed)
+    var raw = h
+    i = 1
+    while (i < numGrams) {
+      raw = raw * Base - ch(i - 1) * basePowW + ch(i + w - 1)
+      grams(i) = mix64(raw ^ seed)
+      i += 1
+    }
+    // winnow: rightmost min of each window of `win` consecutive gram hashes
+    val set = new HashUtil.LongSet(math.max(16, numGrams / win))
+    if (numGrams <= win) {
+      var m = grams(0); i = 1
+      while (i < numGrams) { if (grams(i) <= m) m = grams(i); i += 1 }
+      set.add(m)
+    } else {
+      // monotone deque over indices (ascending hash values)
+      val deque = new Array[Int](numGrams)
+      var head = 0; var tail = 0 // [head, tail)
+      i = 0
+      while (i < numGrams) {
+        while (tail > head && grams(deque(tail - 1)) >= grams(i)) tail -= 1
+        deque(tail) = i; tail += 1
+        if (deque(head) <= i - win) head += 1
+        if (i >= win - 1) set.add(grams(deque(head)))
+        i += 1
+      }
+    }
+    set.toSortedArray
+  }
+}

@@ -1,0 +1,122 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.Row
+
+/** Unit tests for the signature expressions — the analog of the
+  * reference's exhaustive parse_cigar unit module
+  * (reference/dupliganger/test/test_parse_cigar.py:20-86). */
+class SignatureExpressionsSpec extends SparkSpec {
+  import HashUtil.DefaultSeed
+
+  private def words(n: Int, seed: Long = 7): Array[String] = {
+    val vocab = Array("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+      "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+    var s = seed
+    Array.tabulate(n) { _ =>
+      s = HashUtil.mix64(s + 0x9E3779B97F4A7C15L)
+      vocab(((s % vocab.length) + vocab.length).toInt % vocab.length)
+    }
+  }
+
+  test("shingles: deterministic, case/separator insensitive, distinct, sorted") {
+    val a = ShingleHashes.compute("The quick brown fox jumps over the lazy dog", 3, DefaultSeed)
+    val b = ShingleHashes.compute("the  QUICK brown\nfox,jumps over the LAZY dog!", 3, DefaultSeed)
+    assert(a.sameElements(b))
+    assert(a.sameElements(a.sorted))
+    assert(a.length === 7) // 9 words -> 7 trigram shingles, all distinct here
+    assert(ShingleHashes.compute("", 3, DefaultSeed).isEmpty)
+    assert(ShingleHashes.compute("only two", 3, DefaultSeed).length === 1) // short-doc fallback
+    // repeated shingles dedupe
+    val rep = ShingleHashes.compute("a b c a b c a b c", 3, DefaultSeed)
+    assert(rep.length === 3) // abc, bca, cab
+  }
+
+  test("shingles: k=1 equals word-set hashing; seed changes hashes") {
+    val x = ShingleHashes.compute("w1 w2 w1", 1, DefaultSeed)
+    assert(x.length === 2)
+    val y = ShingleHashes.compute("w1 w2 w1", 1, DefaultSeed + 1)
+    assert(!x.sameElements(y))
+  }
+
+  test("minhash: identical text -> identical signature; jaccard estimate concentrates") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = words(300).toSeq
+    // overlap fraction f of words shared -> shingle jaccard roughly known
+    val docA = base.mkString(" ")
+    val docB = (base.take(240) ++ words(60, seed = 99)).mkString(" ") // 80% prefix shared
+    val df = Seq(("a", docA), ("b", docB), ("a2", docA)).toDF("id", "text")
+      .withColumn("sh", shingles(F.col("text"), 3))
+      .withColumn("mh", minhash(F.col("sh"), 128))
+    val rows = df.select("id", "mh").collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(rows("a") === rows("a2"), "identical text must give identical signature")
+    assert(rows("a").length === 128)
+    // true jaccard from shingle sets
+    val sa = ShingleHashes.compute(docA, 3, DefaultSeed).toSet
+    val sb = ShingleHashes.compute(docB, 3, DefaultSeed).toSet
+    val trueJ = sa.intersect(sb).size.toDouble / sa.union(sb).size
+    val est = rows("a").zip(rows("b")).count { case (x, y) => x == y } / 128.0
+    assert(math.abs(est - trueJ) < 0.15, s"est=$est true=$trueJ") // 128 hashes -> se ~ 0.044
+  }
+
+  test("estJaccard column matches scala-side estimate; disjoint docs ~0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docA = words(200, 1).mkString(" ")
+    val docB = words(200, 2).mkString(" ")
+    val df = Seq((docA, docB)).toDF("ta", "tb")
+      .select(
+        minhash(shingles(F.col("ta"), 3), 128).as("ma"),
+        minhash(shingles(F.col("tb"), 3), 128).as("mb"))
+      .select(estJaccard(F.col("ma"), F.col("mb")).as("j"))
+    val j = df.collect()(0).getDouble(0)
+    assert(j < 0.1, s"disjoint docs estimated j=$j")
+  }
+
+  test("simhash: identical -> distance 0; small edit -> small distance; unrelated -> ~32") {
+    val base = words(400, 5)
+    val edited = base.clone(); edited(100) = "zulu"; edited(200) = "yankee"
+    val unrelated = words(400, 77)
+    def sim(ws: Array[String]): Long = {
+      val sh = ShingleHashes.compute(ws.mkString(" "), 3, DefaultSeed)
+      val spark2 = spark; import spark2.implicits._
+      Seq(Tuple1(sh)).toDF("sh").select(simhash(F.col("sh"))).collect()(0).getLong(0)
+    }
+    val (s1, s2, s3) = (sim(base), sim(edited), sim(unrelated))
+    assert(s1 === sim(base.clone()))
+    assert(java.lang.Long.bitCount(s1 ^ s2) <= 10, s"edit distance ${java.lang.Long.bitCount(s1 ^ s2)}")
+    val dUnrel = java.lang.Long.bitCount(s1 ^ s3)
+    assert(dUnrel > 15 && dUnrel < 49, s"unrelated distance $dUnrel")
+  }
+
+  test("winnowing: substring containment detected, unrelated not") {
+    val inner = words(150, 11).mkString(" ")
+    val container = words(100, 12).mkString(" ") + " " + inner + " " + words(100, 13).mkString(" ")
+    val unrelated = words(350, 14).mkString(" ")
+    val fi = WinnowedFingerprints.compute(inner, 24, 12, DefaultSeed).toSet
+    val fc = WinnowedFingerprints.compute(container, 24, 12, DefaultSeed).toSet
+    val fu = WinnowedFingerprints.compute(unrelated, 24, 12, DefaultSeed).toSet
+    val containment = fi.intersect(fc).size.toDouble / fi.size
+    val noise = fi.intersect(fu).size.toDouble / fi.size
+    assert(containment > 0.9, s"containment=$containment")
+    assert(noise < 0.05, s"noise=$noise")
+    // guarantee: shared substring of length >= w+win-1 shares >= 1 fingerprint
+    assert(fi.intersect(fc).nonEmpty)
+  }
+
+  test("null/empty inputs are null-safe end to end") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(Some("hello world one two three"), Some(""), None).toDF("text")
+      .withColumn("sh", shingles(F.col("text"), 3))
+      .withColumn("mh", minhash(F.col("sh"), 16))
+      .withColumn("sim", simhash(F.col("sh")))
+    val rows: Array[Row] = df.collect()
+    assert(rows(0).getSeq[Long](2).length === 16)
+    assert(rows(1).getSeq[Long](1).isEmpty && rows(1).isNullAt(2) && rows(1).isNullAt(3))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2) && rows(2).isNullAt(3))
+  }
+}
