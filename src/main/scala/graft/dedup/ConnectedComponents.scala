@@ -1,0 +1,123 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed union-find: connected components over an undirected edge
+  * list, pure DataFrame implementation of the alternating
+  * large-star / small-star algorithm (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14).
+  *
+  * This is the engine's re-expression of the reference's `put_dup_groups`
+  * group-merging kernel (reference/dupliganger/dedup.py:483-522). There, a
+  * record belongs to exactly one signature bucket, so a merge across
+  * existing groups is an error path; here a document lands in MANY LSH
+  * band buckets, so cross-bucket merging is the norm and needs a real
+  * union-find at shuffle scale.
+  *
+  * Scale design:
+  *  - O(log n) rounds; every round is two shuffles on the node id — no
+  *    driver-side state, no collect. Works identically at 10^12 edges on a
+  *    1000-executor cluster; only `spark.sql.shuffle.partitions` changes.
+  *  - `localCheckpoint` after every round truncates lineage, otherwise the
+  *    iterative plan grows exponentially and the optimizer chokes.
+  *  - Convergence test = count + order-independent hash-sum of the edge
+  *    set (one cheap job per round), not DataFrame equality.
+  *  - Star-skew note: after a few rounds hot components collapse into
+  *    stars whose hub key is the component min; groupBy(min) partial
+  *    aggregation (map-side combine on `min`) absorbs the skew — no
+  *    salting needed because the aggregate is a pure `min`.
+  */
+object ConnectedComponents {
+
+  /** @param edges DataFrame with two LongType columns (src, dst) — column
+    *              names are positional; self-loops and duplicates are fine.
+    * @return DataFrame (id: long, component: long) — every node that
+    *         appears in `edges`, component = min node id of its component.
+    */
+  def run(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val in = edges.toDF("u", "v").where($"u".isNotNull && $"v".isNotNull)
+    val nodes = in.select($"u".as("id")).union(in.select($"v".as("id")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // canonical edge orientation (big, small), dropping self-loops
+    var cur = in.where($"u" =!= $"v")
+      .select(F.greatest($"u", $"v").as("u"), F.least($"u", $"v").as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var converged = cur.isEmpty
+    var lastSig: (Long, Long) = signature(cur)
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val ls = largeStar(cur)
+      val ss = smallStar(ls)
+      val next = ss.localCheckpoint(true)
+      cur.unpersist(false)
+      cur = next
+      val sig = signature(cur)
+      converged = sig == lastSig
+      lastSig = sig
+      iter += 1
+    }
+    require(converged, s"connected components did not converge in $maxIterations rounds")
+
+    // At fixpoint every edge is (child -> root). Nodes absent from the edge
+    // list (isolated after self-loop removal, or roots) map to themselves.
+    val assign = cur.select($"u".as("id"), $"v".as("component"))
+    val out = nodes
+      .join(assign, Seq("id"), "left")
+      .select($"id", F.coalesce($"component", $"id").as("component"))
+    val materialized = out.localCheckpoint(true)
+    nodes.unpersist(false)
+    materialized
+  }
+
+  /** large-star: for every node u, connect every strictly-larger neighbor
+    * to the minimum of u's neighborhood (including u itself). */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select($"u", $"v")
+      .union(edges.select($"v".as("u"), $"u".as("v")))
+    val mins = sym.groupBy($"u")
+      .agg(F.min($"v").as("mn"))
+      .select($"u", F.least($"u", $"mn").as("m"))
+    sym.join(mins, "u")
+      .where($"v" > $"u")
+      .select($"v".as("u"), $"m".as("v"))
+      .where($"u" =!= $"v")
+      .distinct()
+  }
+
+  /** small-star: orient edges big->small; connect every neighbor (and u)
+    * to the minimum of the small neighborhood. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val or = edges.select(F.greatest($"u", $"v").as("u"), F.least($"u", $"v").as("v"))
+    val mins = or.groupBy($"u").agg(F.min($"v").as("m"))
+    val relinked = or.join(mins, "u")
+      .select($"v".as("u"), $"m".as("v"))
+    val hubs = mins.select($"u", $"m".as("v"))
+    relinked.union(hubs)
+      .where($"u" =!= $"v")
+      .distinct()
+  }
+
+  /** Order-independent fingerprint of an edge set: (count, xor of row
+    * hashes) — xor, not sum, so ANSI overflow checking can't trip, and the
+    * edge set is distinct so xor-cancellation of repeats can't occur. */
+  private def signature(edges: DataFrame): (Long, Long) = {
+    val row = edges
+      .select(F.xxhash64(F.col("u"), F.col("v")).as("h"))
+      .agg(F.count(F.lit(1)).as("c"), F.coalesce(F.expr("bit_xor(h)"), F.lit(0L)).as("x"))
+      .head()
+    (row.getLong(0), row.getLong(1))
+  }
+}

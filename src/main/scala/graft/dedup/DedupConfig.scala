@@ -1,0 +1,54 @@
+package graft.dedup
+
+import graft.functions.HashUtil
+
+/** Fixed configuration of the near-duplicate pipeline — the analog of the
+  * reference's strategy selection + constants block
+  * (reference/dupliganger/dedup.py:933-959, constants.py:120-159): one
+  * immutable object decides signature family, bucket layout, tolerance
+  * threshold and determinism seed for the whole run.
+  *
+  * Defaults follow SURVEY.md §7.1: 9-word shingles, 128 MinHashes in
+  * 32 bands × 4 rows, est-Jaccard τ = 0.8. At τ = 0.8 the banding S-curve
+  * gives candidate-recall 1 − (1 − 0.8⁴)³² ≈ 1 − 5·10⁻⁸ — the ≥0.99
+  * dup-pair recall target is met by construction, before verification.
+  */
+final case class DedupConfig(
+    shingleK: Int = 9,
+    numHashes: Int = 128,
+    bands: Int = 32,
+    rowsPerBand: Int = 4,
+    tau: Double = 0.8,
+    simhashMaxHamming: Int = 3,
+    /** Band buckets larger than this are dropped from pair generation
+      * (boilerplate mega-buckets); dropped volume is reported in metrics.
+      * The hot-bucket cap from SURVEY.md §4. */
+    maxBucketSize: Int = 2000,
+    /** Winnowing window sizes for the exact-substring pass: any shared
+      * substring of ≥ winnowW + winnowWin − 1 chars shares a fingerprint. */
+    winnowW: Int = 48,
+    winnowWin: Int = 16,
+    /** Fraction of the contained doc's fingerprints that must appear in the
+      * container before the literal `contains` verification runs. */
+    containmentThreshold: Double = 0.8,
+    /** Docs shorter than this many chars can't be substring-dedup subjects. */
+    minSubstringChars: Int = 128,
+    /** Fingerprints shared by more than this many docs are dropped from
+      * substring candidate generation (boilerplate guard). */
+    maxFingerprintPostings: Int = 1000,
+    /** Languages admitted past the quality gate; None = admit all. */
+    allowedLangs: Option[Set[String]] = None,
+    /** Minimum text length (chars) past the quality gate. */
+    minTextChars: Int = 1,
+    /** Engine seed (shingles/minhash/simhash). */
+    seed: Long = HashUtil.DefaultSeed,
+    /** Canonical-winner ranking seed — role of the reference's
+      * `random.seed('Little Ashes')` (constants.py:159), realized as a pure
+      * hash rank so it is stable across partitionings and runs. */
+    canonicalSeed: Long = HashUtil.DefaultSeed,
+    /** Run the winnowing substring pass (north_star suffix-array analog). */
+    substringPass: Boolean = true
+) {
+  require(numHashes == bands * rowsPerBand,
+    s"numHashes ($numHashes) must equal bands*rowsPerBand (${bands * rowsPerBand})")
+}

@@ -1,0 +1,145 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.storage.StorageLevel
+import graft.functions._
+
+/** Results of a dedup run — the analog of the reference's five output
+  * files + report (reference/dupliganger/dedup.py:21-34, 677-803):
+  *  - `flagged`   ≈ dups_flagged.sam: every admitted page + cluster id +
+  *                  is_duplicate flag (the FLAG|=0x400 analog as a column)
+  *  - `deduped`   ≈ dups_removed.sam: anti-join of pages against losers
+  *  - `duplicates`≈ duplicates.sam: the loser rows only
+  *  - `clusters`  ≈ dup_groups.samlike: (url, cluster_id, is_canonical)
+  *  - `nearMisses`≈ umi_errors.sam: candidate pairs that failed
+  *                  verification (close but below τ)
+  *  - `rejects`   ≈ hard-clip/quality rejects (db.py:431-439)
+  *  - `metrics`   ≈ report_db counter dump (constants.py:67-88)
+  *
+  * Per-row invariant: `text`/`html` bytes pass through joins untouched —
+  * every output row is a projection of an input row (the verbatim-emission
+  * invariant, dedup.py:783-797).
+  */
+final case class DedupResult(
+    flagged: DataFrame,
+    deduped: DataFrame,
+    duplicates: DataFrame,
+    clusters: DataFrame,
+    nearMisses: DataFrame,
+    rejects: DataFrame,
+    metrics: DataFrame)
+
+/** The flagship pipeline: pages → quality gate → signatures → LSH
+  * candidates → verification → (optional) substring pass → connected
+  * components → canonical winner → emission. Mirrors the reference's five
+  * sequential ops (reference/dupliganger/dedup.py:864-1072) as Spark
+  * stages; see SURVEY.md §3.1 for the op-by-op trace.
+  */
+object DedupPipeline {
+
+  /** Stage 0+1 — quality gate + signatures. Returns (sigs, rejects).
+    * sigs: doc_id, url, text-length etc. + minhash + simhash. */
+  def signatures(pages: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) = {
+    val base = pages.withColumn("doc_id", F.xxhash64(F.lit(cfg.seed), F.col("url")))
+    val langOk = cfg.allowedLangs match {
+      case Some(ls) => F.col("lang").isin(ls.toSeq: _*)
+      case None => F.lit(true)
+    }
+    val reason = F.when(F.col("text").isNull, "null_text")
+      .when(F.length(F.trim(F.col("text"))) < cfg.minTextChars, "empty_text")
+      .when(!langOk, "lang")
+    val gated = base.withColumn("reject_reason", reason)
+    val rejects = gated.where(F.col("reject_reason").isNotNull)
+    val admitted = gated.where(F.col("reject_reason").isNull).drop("reject_reason")
+    val sigs = admitted
+      .withColumn("shingles", shingles(F.col("text"), cfg.shingleK, cfg.seed))
+      .withColumn("minhash", minhash(F.col("shingles"), cfg.numHashes, cfg.seed))
+      .withColumn("simhash", simhash(F.col("shingles"), cfg.seed))
+      .drop("shingles")
+    // docs whose text produced no shingles at all are rejects too
+    val noContent = sigs.where(F.col("minhash").isNull)
+      .drop("minhash", "simhash")
+      .withColumn("reject_reason", F.lit("no_content"))
+    (sigs.where(F.col("minhash").isNotNull),
+      rejects.unionByName(noContent, allowMissingColumns = true))
+  }
+
+  /** Full run. `pages` must have columns (url, text, lang [, warc_ts, html]). */
+  def run(pages: DataFrame, cfg: DedupConfig = DedupConfig()): DedupResult = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+
+    // Op1 — signatures (reference Op1: build_read_and_loc_dbs)
+    val (sigsRaw, rejects) = signatures(pages, cfg)
+    val sigs = sigsRaw.persist(StorageLevel.MEMORY_AND_DISK)
+    val sigCols = sigs.select("doc_id", "minhash", "simhash")
+
+    // Op2 — LSH buckets → candidates → verification (reference Op2:
+    // write_to_dup_group_db with the tolerant in-bucket match)
+    val (pairs, overflow) = Lsh.candidatePairs(sigCols, cfg)
+    val scored = Lsh.verifyPairs(pairs, sigCols, cfg)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verified = scored.where($"verified").select($"a", $"b")
+    val nearMisses = scored.where(!$"verified")
+
+    // Op2b — exact-substring pass (north_star suffix-array analog)
+    val substr =
+      if (cfg.substringPass)
+        SubstringDedup.substringEdges(sigs.select($"doc_id", $"text"), cfg)
+          .select($"a", $"b")
+      else spark.emptyDataset[(Long, Long)].toDF("a", "b")
+
+    // Op2c — group merge = connected components (reference put_dup_groups)
+    val edges = verified.union(substr)
+    val assign = ConnectedComponents.run(edges) // (id, component)
+
+    // every admitted doc: component = its CC root, else itself
+    val withCluster = sigs.join(
+      assign.select($"id".as("doc_id"), $"component"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", F.coalesce($"component", $"doc_id"))
+      .drop("component")
+
+    // Op3 — winner per cluster: pure hash rank (deterministic across
+    // partitionings; replaces seeded RNG, reference dedup.py:197-223)
+    val ranked = withCluster.withColumn("rank",
+      F.xxhash64(F.lit(cfg.canonicalSeed), $"url"))
+    val winners = ranked.groupBy($"cluster_id")
+      .agg(F.min_by($"doc_id", F.struct($"rank", $"doc_id")).as("winner_id"))
+    val flagged = ranked.join(winners, "cluster_id")
+      .withColumn("is_canonical", $"doc_id" === $"winner_id")
+      .withColumn("is_duplicate", !$"is_canonical")
+      .drop("rank", "winner_id", "minhash", "simhash")
+
+    // Op5 — emission (reference write_output_files_pe: anti/semi routing)
+    val deduped = flagged.where($"is_canonical")
+      .drop("is_canonical", "is_duplicate", "cluster_id")
+    val duplicates = flagged.where($"is_duplicate")
+      .drop("is_canonical", "is_duplicate")
+    val clusters = flagged.select($"url", $"doc_id", $"cluster_id", $"is_canonical")
+
+    val metrics = metricsOf(spark, Seq(
+      "pages_total" -> pages.count(),
+      "rejects" -> rejects.count(),
+      "docs_admitted" -> sigs.count(),
+      "candidate_pairs" -> scored.count(),
+      "verified_pairs" -> verified.count(),
+      "near_miss_pairs" -> nearMisses.count(),
+      "substring_pairs" -> substr.count(),
+      "clusters_multi" -> flagged.where($"is_duplicate").select($"cluster_id").distinct().count(),
+      "duplicates_removed" -> flagged.where($"is_duplicate").count()
+    ), overflow)
+
+    DedupResult(flagged, deduped, duplicates, clusters, nearMisses, rejects, metrics)
+  }
+
+  private def metricsOf(spark: SparkSession, counters: Seq[(String, Long)],
+                        overflow: DataFrame): DataFrame = {
+    import spark.implicits._
+    val o = overflow.head()
+    val all = counters ++ Seq(
+      "lsh_overflow_buckets" -> o.getLong(0),
+      "lsh_overflow_rows" -> o.getLong(1))
+    all.toDF("metric", "value").orderBy("metric")
+  }
+}

@@ -1,0 +1,47 @@
+package graft.examples
+
+import org.apache.spark.sql.{SparkSession, functions => F}
+import graft.dedup.{DedupConfig, DedupPipeline}
+import graft.io.SyntheticCorpus
+
+/** Example / verification driver: run the flagship near-dup pipeline on
+  * the deterministic synthetic corpus and print the stage report.
+  *
+  * Usage: sbt 'runMain graft.examples.FlagshipDemo [nDocs]'
+  */
+object FlagshipDemo {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(2000L)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .appName("graft-flagship-demo")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val pages = SyntheticCorpus.pages(spark, n)
+    val res = DedupPipeline.run(pages, DedupConfig(allowedLangs = Some(Set("en"))))
+    res.metrics.show(30, truncate = false)
+    println("sample duplicate clusters:")
+    res.clusters.where(!F.col("is_canonical")).show(5, truncate = false)
+    println(s"deduped=${res.deduped.count()} duplicates=${res.duplicates.count()} " +
+      s"rejects=${res.rejects.count()} near_misses=${res.nearMisses.count()}")
+
+    // minimal-schema run (url, text, lang only)
+    val slim = pages.select("url", "text", "lang")
+    val res2 = DedupPipeline.run(slim, DedupConfig(substringPass = false))
+    println(s"slim-run deduped=${res2.deduped.count()}")
+
+    // degenerate input: everything rejected
+    val junk = spark.sql("select 'u://x' as url, '' as text, 'en' as lang")
+    val res3 = DedupPipeline.run(junk, DedupConfig())
+    println(s"junk rejects=${res3.rejects.count()} deduped=${res3.deduped.count()}")
+
+    try DedupConfig(numHashes = 100, bands = 32, rowsPerBand = 4)
+    catch { case e: IllegalArgumentException => println("CFG-ERR: " + e.getMessage) }
+
+    println("FLAGSHIP-DEMO-DONE")
+    spark.stop()
+  }
+}

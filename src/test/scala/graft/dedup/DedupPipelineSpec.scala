@@ -1,0 +1,109 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.io.SyntheticCorpus
+import org.apache.spark.sql.{functions => F}
+
+/** End-to-end pipeline tests on the planted synthetic corpus — the analog
+  * of the reference's golden-output dedup tests
+  * (reference/dupliganger/test/test_dedup.py): planted dups must cluster,
+  * rejects must route, emission must preserve text bytes per url, and the
+  * result must be identical across partitionings. */
+class DedupPipelineSpec extends SparkSpec {
+
+  private val n = 1000L
+  private val cfg = DedupConfig(allowedLangs = Some(Set("en")))
+
+  private lazy val corpus = SyntheticCorpus.generate(spark, n).toDF().cache()
+  private lazy val pages = corpus.select("url", "warc_ts", "html", "text", "lang")
+  private lazy val result = {
+    val r = DedupPipeline.run(pages, cfg)
+    DedupResult(r.flagged.cache(), r.deduped.cache(), r.duplicates.cache(),
+      r.clusters.cache(), r.nearMisses.cache(), r.rejects.cache(), r.metrics.cache())
+  }
+
+  private def idOfUrl(url: String): Long = url.split("page").last.toLong
+
+  test("dup-pair recall = 1.0 on planted exact/near/substring pairs") {
+    val clusterOf = result.clusters.collect()
+      .map(r => idOfUrl(r.getString(0)) -> r.getLong(2)).toMap
+    val truth = SyntheticCorpus.truthPairs(spark, n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val missed = truth.filterNot { case (donor, dup, _) =>
+      clusterOf.get(donor).isDefined && clusterOf.get(donor) == clusterOf.get(dup)
+    }
+    assert(missed.isEmpty,
+      s"missed ${missed.length}/${truth.length} planted pairs: ${missed.take(5).mkString(",")}")
+  }
+
+  test("no false merges: docs in one cluster share a planted lineage") {
+    // ground-truth component = the donor id for dups, own id for uniques
+    val truthRoot = (0L until n).map { id =>
+      val d = SyntheticCorpus.donorOf(id)
+      id -> (if (d >= 0) d else id)
+    }.toMap
+    val byCluster = result.clusters.collect()
+      .map(r => (idOfUrl(r.getString(0)), r.getLong(2)))
+      .groupBy(_._2).values
+    byCluster.foreach { members =>
+      val roots = members.map(m => truthRoot(m._1)).distinct
+      assert(roots.length === 1,
+        s"false merge: cluster with members ${members.map(_._1).mkString(",")}")
+    }
+  }
+
+  test("exactly one canonical winner per cluster; deduped = canonicals") {
+    val perCluster = result.clusters.groupBy("cluster_id")
+      .agg(F.sum(F.when(F.col("is_canonical"), 1).otherwise(0)).as("wins"))
+    assert(perCluster.where(F.col("wins") =!= 1).count() === 0)
+    assert(result.deduped.count() ===
+      result.clusters.select("cluster_id").distinct().count())
+  }
+
+  test("rejects routed: empty text and lang!=en, with reasons") {
+    val rejectIds = result.rejects.collect().map(r =>
+      idOfUrl(r.getAs[String]("url"))).toSet
+    val expected = (0L until n).filter(id => SyntheticCorpus.kindOf(id) == "reject").toSet
+    assert(rejectIds === expected)
+    val reasons = result.rejects.select("reject_reason").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(reasons.subsetOf(Set("empty_text", "lang", "null_text", "no_content")))
+    // rejects never reach any dedup output
+    assert(result.flagged.join(result.rejects.select("url"), Seq("url")).count() === 0)
+  }
+
+  test("per-row invariant: byte-identical text and html per url in every output") {
+    val orig = pages.select(F.col("url"), F.col("text").as("t0"), F.col("html").as("h0"))
+    for (out <- Seq(result.flagged, result.deduped, result.duplicates)) {
+      val bad = out.join(orig, "url")
+        .where(F.col("text") =!= F.col("t0") || F.md5(F.col("html")) =!= F.md5(F.col("h0")))
+      assert(bad.count() === 0)
+    }
+  }
+
+  test("counts: duplicates_removed = planted dup count; outputs partition pages") {
+    val planted = (0L until n).count(id =>
+      Set("exact", "near", "substr").contains(SyntheticCorpus.kindOf(id)))
+    assert(result.duplicates.count() === planted)
+    assert(result.deduped.count() + result.duplicates.count() +
+      result.rejects.count() === n)
+  }
+
+  test("determinism: identical clusters across input partitionings") {
+    val r2 = DedupPipeline.run(pages.repartition(17), cfg)
+    val a = result.clusters.select("url", "cluster_id", "is_canonical")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).sorted.toSeq
+    val b = r2.clusters.select("url", "cluster_id", "is_canonical")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).sorted.toSeq
+    assert(a === b)
+  }
+
+  test("metrics report the stage counters") {
+    val m = result.metrics.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("pages_total") === n)
+    assert(m("rejects") === result.rejects.count())
+    assert(m("verified_pairs") >= 1L)
+    assert(m("substring_pairs") >= 1L)
+    assert(m("lsh_overflow_rows") === 0L)
+  }
+}
