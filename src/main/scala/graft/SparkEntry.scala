@@ -1,13 +1,410 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+import graft.analysis.{Multimodal, Similarity, TextAnalysis}
+import graft.dedup.{ConnectedComponents, DedupConfig, DedupPipeline, Lsh, SimHashJoin}
+import graft.functions._
+import graft.io.SyntheticCorpus
+
+/** Driver contract (see SURVEY.md §7): `entry` = flagship smoke query;
+  * `queries` = one entry per implemented operator; `oracleSql` = DuckDB
+  * equivalent for every SQL-expressible query (the correctness gate).
+  *
+  * Column names and types are aligned per-query between the Spark build
+  * and the oracle SQL (the driver hash-compares values after sorting
+  * columns by name). Floating-point outputs are avoided: counts/ids are
+  * bigint, money is DECIMAL(12,2) (exact), ratios are floor()'d permille.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---------------------------------------------------------------- helpers
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** documents ∪ planted exact copies (doc_id+1,000,000 for doc_id%10=0) —
+    * a deterministic dup injection so dedup queries have guaranteed
+    * positives at every scale (the `pcrdup` fixture analog,
+    * reference/dupliganger/test/files/dedup/in/12_one_dup_one_not). */
+  private def docsWithCopies(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(
+      d.where(F.col("doc_id") % 10 === 0)
+        .select((F.col("doc_id") + 1000000L).as("doc_id"), F.col("text")))
+  }
+
+  private def vecsWithCopies(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select("vec_id", "embedding")
+    e.unionByName(
+      e.where(F.col("vec_id") % 10 === 0)
+        .select((F.col("vec_id") + 1000000L).as("vec_id"), F.col("embedding")))
+  }
+
+  private val dupSqlDocs =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  /** Word trigram distinct set (Spark side; oracle mirrors it in DuckDB). */
+  private def trigrams(text: Column): Column = {
+    val ws = TextAnalysis.tokens(text)
+    F.when(F.size(ws) >= 3,
+      F.array_distinct(F.transform(F.sequence(F.lit(0), F.size(ws) - 3),
+        i => F.concat_ws(" ",
+          F.element_at(ws, i + 1), F.element_at(ws, i + 2), F.element_at(ws, i + 3)))))
+      .otherwise(F.array().cast("array<string>"))
+  }
+
+  // ------------------------------------------------------------------ entry
+
+  /** Flagship: full near-dup pipeline (signatures → LSH → verify →
+    * connected components → winner → emission) on the deterministic
+    * synthetic Common-Crawl-style corpus. */
+  def entry(spark: SparkSession): DataFrame = {
+    val pages = SyntheticCorpus.pages(spark, 1000L)
+    DedupPipeline.run(pages, DedupConfig(allowedLangs = Some(Set("en")))).clusters
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- relational operator demos (SURVEY.md §2.2-2.4) -----------------
+    "q1_agg" -> ((s, dir) => {
+      // pruned scan + filter pushdown + partial agg (G4/G5 analog)
+      t(s, dir, "lineitem")
+        .where(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-12-31")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          F.sum(F.col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
+          F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).as("sum_price"),
+          F.count(F.lit(1)).as("n_rows"))
+    }),
+
+    "q_join_agg" -> ((s, dir) => {
+      // 3-way join, small dim broadcast (J3 analog)
+      t(s, dir, "orders").as("o")
+        .join(t(s, dir, "customer").as("c"), F.col("o.o_custkey") === F.col("c.c_custkey"))
+        .join(F.broadcast(t(s, dir, "nation").as("n")),
+          F.col("c.c_nationkey") === F.col("n.n_nationkey"))
+        .groupBy(F.col("n.n_name").as("nation"))
+        .agg(F.count(F.lit(1)).as("n_orders"),
+          F.sum(F.col("o.o_totalprice").cast("decimal(12,2)")).as("revenue"))
+    }),
+
+    "q_anti_join" -> ((s, dir) => {
+      // final-emission anti-join (J1: reference/dupliganger/dedup.py:779-797)
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").where(F.col("o_totalprice") > 400000.0),
+          F.col("c_custkey") === F.col("o_custkey"), "left_anti")
+        .select("c_custkey")
+    }),
+
+    "q_semi_join" -> ((s, dir) => {
+      // dup-only emission semi-join (J1 dual)
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").where(F.col("o_totalprice") > 300000.0),
+          F.col("c_custkey") === F.col("o_custkey"), "left_semi")
+        .select("c_custkey")
+    }),
+
+    "q_events_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).as("n_events"),
+          F.sum(F.col("value").cast("decimal(12,2)")).as("sum_value"),
+          F.countDistinct(F.col("user_id")).as("n_users"))),
+
+    // --- deduplication family -------------------------------------------
+    "q_exact_dedup_groups" -> ((s, dir) =>
+      // exact dedup: hash-groupBy on content (G2+G7 analog)
+      docs(s, dir)
+        .groupBy(F.md5(F.col("text").cast("binary")).as("sig"))
+        .agg(F.count(F.lit(1)).as("n_members"),
+          F.min(F.col("doc_id")).as("keeper"))),
+
+    "q_exact_dedup_kept" -> ((s, dir) =>
+      // the dedupped corpus: one winner per identical-text group
+      docs(s, dir)
+        .groupBy(F.col("text"))
+        .agg(F.min(F.col("doc_id")).as("doc_id"))
+        .select("doc_id")),
+
+    "q_minhash_lsh_dedup" -> ((s, dir) => {
+      // MinHash → LSH banding → est-Jaccard verify → connected components.
+      // τ=0.5 sits inside the corpus's empirical similarity gap
+      // ([0.15, 0.80] is empty), so est-vs-true threshold classification
+      // agrees with probability 1-1e-8 and the exact-Jaccard oracle below
+      // is sound. Planted copies guarantee positives.
+      val cfg = DedupConfig(shingleK = 3, tau = 0.5)
+      val all = docsWithCopies(s, dir)
+      val sigs = all.select(F.col("doc_id"),
+        minhash(shingles(F.col("text"), cfg.shingleK, cfg.seed), cfg.numHashes, cfg.seed).as("minhash"),
+        simhash(shingles(F.col("text"), cfg.shingleK, cfg.seed), cfg.seed).as("simhash"))
+      val (pairs, _) = Lsh.candidatePairs(sigs, cfg)
+      val edges = Lsh.verifyPairs(pairs, sigs, cfg).where(F.col("verified"))
+        .select("a", "b")
+      val assign = ConnectedComponents.run(edges)
+      all.join(assign.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(F.col("doc_id"),
+          F.coalesce(F.col("component"), F.col("doc_id")).as("cluster_id"))
+    }),
+
+    "q_simhash_dup_pairs" -> ((s, dir) => {
+      // SimHash near-dup pairs via the pigeonhole multi-index join
+      // (hamming ≤ 3). Approximate-by-nature → no SQL oracle (rows-only
+      // check here); exactness properties are asserted in DedupPipelineSpec
+      // and SimHashJoinSpec on the planted corpus.
+      val all = docsWithCopies(s, dir)
+        .select(F.col("doc_id"), simhash(shingles(F.col("text"), 3)).as("sim"))
+      SimHashJoin.nearPairs(all, maxHamming = 3)
+        .select(F.col("id_a").as("doc_a"), F.col("id_b").as("doc_b"), F.col("hamming"))
+    }),
+
+    "q_ngram_jaccard_pairs" -> ((s, dir) => {
+      // exact n-gram Jaccard pair scoring, blocked by source (all-ints
+      // output so the comparison is exact)
+      val d = docs(s, dir)
+        .select(F.col("doc_id"), F.col("source"), trigrams(F.col("text")).as("tri"))
+      d.as("x").join(d.as("y"),
+        F.col("x.source") === F.col("y.source") && F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+          F.col("x.doc_id").as("doc_a"), F.col("y.doc_id").as("doc_b"),
+          F.size(F.array_intersect(F.col("x.tri"), F.col("y.tri"))).cast("long").as("inter_size"),
+          (F.size(F.col("x.tri")) + F.size(F.col("y.tri"))
+            - F.size(F.array_intersect(F.col("x.tri"), F.col("y.tri")))).cast("long").as("union_size"))
+    }),
+
+    "q_embedding_dedup" -> ((s, dir) =>
+      // embedding-cosine near-dup pairs; base corpus max cross-cosine is
+      // ~0.51, planted copies are ~1.0 → 0.999 threshold is unambiguous
+      Similarity.nearDupPairs(vecsWithCopies(s, dir), 0.999)),
+
+    // --- similarity search ----------------------------------------------
+    "q_embedding_top1" -> ((s, dir) =>
+      Similarity.bruteForceTopK(embeddings(s, dir), 1)
+        .select("vec_id", "nn_id")),
+
+    "q_ann_lsh_top1" -> ((s, dir) =>
+      // scale path: random-hyperplane bucketed ANN (approximate — no SQL
+      // oracle; recall vs brute force is asserted in AnalysisSpec)
+      Similarity.lshTopK(embeddings(s, dir), 1, numPlanes = 6)
+        .select("vec_id", "nn_id")),
+
+    // --- clustering kernel ----------------------------------------------
+    "q_cc_chain" -> ((s, dir) => {
+      // connected components over per-source doc_id chains: a 25-500-hop
+      // path graph per source — exercises O(log n) convergence
+      val d = docs(s, dir).select("doc_id", "source")
+      val edges = d.select(F.col("doc_id").as("u"),
+        F.lead("doc_id", 1).over(
+          Window.partitionBy("source").orderBy("doc_id")).as("v"))
+        .where(F.col("v").isNotNull)
+      val assign = ConnectedComponents.run(edges)
+      d.join(assign.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(F.col("doc_id"),
+          F.coalesce(F.col("component"), F.col("doc_id")).as("cluster_id"))
+    }),
+
+    // --- text analysis ---------------------------------------------------
+    "q_token_stats" -> ((s, dir) =>
+      docs(s, dir).select(
+        F.col("doc_id"),
+        TextAnalysis.tokenCount(F.col("text")).as("n_tokens"),
+        TextAnalysis.distinctTokenCount(F.col("text")).as("n_distinct"),
+        TextAnalysis.tokenEstimateBpe(F.col("text")).as("n_bpe_est"),
+        F.length(F.col("text")).cast("long").as("n_chars_seen"))),
+
+    "q_quality" -> ((s, dir) =>
+      docs(s, dir).select(
+        F.col("doc_id"),
+        TextAnalysis.diversityPermille(F.col("text")).as("diversity_pm"),
+        (F.length(F.col("text")) === F.col("n_chars")).as("len_matches_meta"),
+        (TextAnalysis.tokenCount(F.col("text")) >= 20).as("len_ok"))),
+
+    "q_langid" -> ((s, dir) => {
+      val scores = TextAnalysis.langScores(F.col("text")).toMap
+      val Seq(en, es, de, fr) = Seq("en", "es", "de", "fr").map(scores)
+      docs(s, dir).select(
+        F.col("doc_id"),
+        en.as("en_hits"), es.as("es_hits"), de.as("de_hits"), fr.as("fr_hits"),
+        F.when(en >= es && en >= de && en >= fr && en > 0, "en")
+          .when(es >= de && es >= fr && es > 0, "es")
+          .when(de >= fr && de > 0, "de")
+          .when(fr > 0, "fr")
+          .otherwise("und").as("lang_guess"))
+    }),
+
+    "q_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(F.col("doc_id"),
+        TextAnalysis.fingerprint(F.col("text")).as("fp"))),
+
+    // --- multimodal plumbing ---------------------------------------------
+    "q_multimodal_meta" -> ((s, dir) => {
+      val media = docs(s, dir)
+        .select(F.col("doc_id"), F.encode(F.col("text"), "UTF-8").as("payload"))
+      Multimodal.extractMeta(media).toDF()
+    })
+  )
+
+  // -------------------------------------------------------------- oracleSql
+
+  private val trigramSqlDocs =
+    """SELECT doc_id, source,
+      |       CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(range(1, len(ws)-1),
+      |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) ELSE []::VARCHAR[] END AS tri
+      |FROM (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x != '') AS ws
+      |      FROM documents)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+        |       sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-31'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_join_agg" ->
+      """SELECT n.n_name AS nation, count(*) AS n_orders,
+        |       sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS revenue
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)""".stripMargin,
+
+    "q_events_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       sum(CAST(value AS DECIMAL(12,2))) AS sum_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_exact_dedup_groups" ->
+      """SELECT md5(text) AS sig, count(*) AS n_members, min(doc_id) AS keeper
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_exact_dedup_kept" ->
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+
+    "q_minhash_lsh_dedup" ->
+      s"""WITH RECURSIVE all_docs AS ($dupSqlDocs),
+         |w AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(range(1, len(ws)-1),
+         |              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) ELSE []::VARCHAR[] END AS tri
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+         |        FROM all_docs)
+         |),
+         |e0 AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM w a JOIN w b ON a.doc_id < b.doc_id
+         |  WHERE len(a.tri) + len(b.tri) > 0
+         |    AND len(list_intersect(a.tri, b.tri))::DOUBLE
+         |        / (len(a.tri) + len(b.tri) - len(list_intersect(a.tri, b.tri))) >= 0.5
+         |),
+         |edges AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+         |reach(id, lab) AS (
+         |  SELECT doc_id, doc_id FROM all_docs
+         |  UNION
+         |  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.id
+         |)
+         |SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    "q_ngram_jaccard_pairs" ->
+      s"""WITH w AS ($trigramSqlDocs)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       len(list_intersect(a.tri, b.tri)) AS inter_size,
+         |       len(a.tri) + len(b.tri) - len(list_intersect(a.tri, b.tri)) AS union_size
+         |FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id""".stripMargin,
+
+    "q_embedding_dedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 10 = 0
+        |)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.999""".stripMargin,
+
+    "q_embedding_top1" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |s AS (SELECT a.vec_id, b.vec_id AS nn_id,
+        |             list_cosine_similarity(a.emb, b.emb) AS c
+        |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, nn_id,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, nn_id) AS rk
+        |      FROM s)
+        |SELECT vec_id, nn_id FROM r WHERE rk = 1""".stripMargin,
+
+    "q_cc_chain" ->
+      """SELECT doc_id, min(doc_id) OVER (PARTITION BY source) AS cluster_id
+        |FROM documents""".stripMargin,
+
+    "q_token_stats" ->
+      """SELECT doc_id,
+        |       len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+        |       len(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS n_distinct,
+        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_est,
+        |       length(text) AS n_chars_seen
+        |FROM documents""".stripMargin,
+
+    "q_quality" ->
+      """SELECT doc_id,
+        |       CASE WHEN len(list_filter(string_split(text,' '), x -> x != '')) > 0
+        |            THEN floor(1000 * len(list_distinct(list_filter(string_split(text,' '), x -> x != '')))::DOUBLE
+        |                       / len(list_filter(string_split(text,' '), x -> x != '')))::BIGINT
+        |       END AS diversity_pm,
+        |       length(text) = n_chars AS len_matches_meta,
+        |       len(list_filter(string_split(text,' '), x -> x != '')) >= 20 AS len_ok
+        |FROM documents""".stripMargin,
+
+    "q_langid" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\band\b')) + len(regexp_extract_all(text, '\bof\b')) AS en_hits,
+        |    len(regexp_extract_all(text, '\bel\b')) + len(regexp_extract_all(text, '\bla\b')) + len(regexp_extract_all(text, '\blos\b')) AS es_hits,
+        |    len(regexp_extract_all(text, '\bder\b')) + len(regexp_extract_all(text, '\bdie\b')) + len(regexp_extract_all(text, '\bund\b')) AS de_hits,
+        |    len(regexp_extract_all(text, '\ble\b')) + len(regexp_extract_all(text, '\bles\b')) + len(regexp_extract_all(text, '\bdes\b')) AS fr_hits
+        |  FROM documents)
+        |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+        |       CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+        |            WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+        |            WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+        |            WHEN fr_hits > 0 THEN 'fr'
+        |            ELSE 'und' END AS lang_guess
+        |FROM h""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |       octet_length(encode(text)) AS n_bytes,
+        |       320 + octet_length(encode(text)) % 1280 AS width,
+        |       240 + octet_length(encode(text)) % 720 AS height,
+        |       1 + octet_length(encode(text)) % 24 AS n_frames
+        |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,63 @@
+package graft.analysis
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{functions => F}
+
+/** Text-analysis column builders for training-data pipelines: token
+  * counting, quality scoring, language-ID heuristics, fingerprinting.
+  * All pure built-in expressions (codegen'd, no UDFs) so filters composed
+  * from them push down and stay in whole-stage codegen.
+  *
+  * Counterpart of the reference's per-record quality filters
+  * (reference/dupliganger/barcode_split_quality_filter_umi_anno.py:362-403):
+  * there sliding-window phred-quality and whitelist checks; here
+  * length/token/stopword statistics over web text.
+  */
+object TextAnalysis {
+
+  /** Whitespace-token array with empty tokens removed. */
+  def tokens(text: Column): Column =
+    F.filter(F.split(text, " "), t => t =!= "")
+
+  def tokenCount(text: Column): Column = F.size(tokens(text)).cast("long")
+
+  def distinctTokenCount(text: Column): Column =
+    F.size(F.array_distinct(tokens(text))).cast("long")
+
+  /** Lexical-diversity permille: floor(1000 * distinct / total). Double
+    * division + floor — the oracle replays the identical IEEE sequence. */
+  def diversityPermille(text: Column): Column = {
+    val t = tokenCount(text)
+    F.when(t > 0,
+      F.floor(F.lit(1000) * distinctTokenCount(text) / t).cast("long"))
+  }
+
+  /** A BPE-ish token estimate: words + digits runs + punctuation marks
+    * (regexp-based; the whitespace count underestimates sub-word splits). */
+  def tokenEstimateBpe(text: Column): Column =
+    F.regexp_count(text, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Count of occurrences of a literal word (word-boundary regex). */
+  def wordHits(text: Column, word: String): Column =
+    F.regexp_count(text, F.lit("\\b" + word + "\\b")).cast("long")
+
+  /** Tiny n-gram-flavored language-ID heuristic: count stopword hits per
+    * language, pick the argmax (ties → 'und'). Deterministic and
+    * SQL-expressible, so the oracle can replay it. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "la", "los"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "les", "des"))
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (lang, ws) =>
+      lang -> ws.map(w => wordHits(text, w)).reduce(_ + _)
+    }
+
+  /** Canonical document fingerprint: md5 of case-folded,
+    * whitespace-collapsed text. (The cheap exact-dedup signature; the
+    * reference's location_key analog at its crudest.) */
+  def fingerprint(text: Column): Column =
+    F.md5(F.trim(F.regexp_replace(F.lower(text), "\\s+", " ")).cast("binary"))
+}

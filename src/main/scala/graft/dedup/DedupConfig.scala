@@ -25,9 +25,11 @@ final case class DedupConfig(
       * The hot-bucket cap from SURVEY.md §4. */
     maxBucketSize: Int = 2000,
     /** Winnowing window sizes for the exact-substring pass: any shared
-      * substring of ≥ winnowW + winnowWin − 1 chars shares a fingerprint. */
+      * substring of ≥ winnowW + winnowWin − 1 chars shares a fingerprint.
+      * win also sets the sampling density (~2/(win+1) of all grams): the
+      * posting volume knob — at 10^12 docs this is the dominant shuffle. */
     winnowW: Int = 48,
-    winnowWin: Int = 16,
+    winnowWin: Int = 48,
     /** Fraction of the contained doc's fingerprints that must appear in the
       * container before the literal `contains` verification runs. */
     containmentThreshold: Double = 0.8,

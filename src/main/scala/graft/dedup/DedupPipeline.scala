@@ -38,8 +38,12 @@ final case class DedupResult(
   */
 object DedupPipeline {
 
-  /** Stage 0+1 — quality gate + signatures. Returns (sigs, rejects).
-    * sigs: doc_id, url, text-length etc. + minhash + simhash. */
+  /** Stage 0+1 — quality gate + signatures. Returns (sigsAll, rejects):
+    * sigsAll = every gate-admitted doc + minhash/simhash columns (null
+    * minhash ⇔ text produced no shingles → also a reject); callers filter
+    * `minhash.isNotNull`. rejects is built WITHOUT signature computation
+    * except the no-content branch, which callers should serve from a
+    * persisted sigsAll. */
   def signatures(pages: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) = {
     val base = pages.withColumn("doc_id", F.xxhash64(F.lit(cfg.seed), F.col("url")))
     val langOk = cfg.allowedLangs match {
@@ -52,17 +56,12 @@ object DedupPipeline {
     val gated = base.withColumn("reject_reason", reason)
     val rejects = gated.where(F.col("reject_reason").isNotNull)
     val admitted = gated.where(F.col("reject_reason").isNull).drop("reject_reason")
-    val sigs = admitted
+    val sigsAll = admitted
       .withColumn("shingles", shingles(F.col("text"), cfg.shingleK, cfg.seed))
       .withColumn("minhash", minhash(F.col("shingles"), cfg.numHashes, cfg.seed))
       .withColumn("simhash", simhash(F.col("shingles"), cfg.seed))
       .drop("shingles")
-    // docs whose text produced no shingles at all are rejects too
-    val noContent = sigs.where(F.col("minhash").isNull)
-      .drop("minhash", "simhash")
-      .withColumn("reject_reason", F.lit("no_content"))
-    (sigs.where(F.col("minhash").isNotNull),
-      rejects.unionByName(noContent, allowMissingColumns = true))
+    (sigsAll, rejects)
   }
 
   /** Full run. `pages` must have columns (url, text, lang [, warc_ts, html]). */
@@ -71,8 +70,13 @@ object DedupPipeline {
     import spark.implicits._
 
     // Op1 — signatures (reference Op1: build_read_and_loc_dbs)
-    val (sigsRaw, rejects) = signatures(pages, cfg)
-    val sigs = sigsRaw.persist(StorageLevel.MEMORY_AND_DISK)
+    val (sigsAllRaw, gateRejects) = signatures(pages, cfg)
+    val sigsAll = sigsAllRaw.persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = sigsAll.where($"minhash".isNotNull)
+    val noContent = sigsAll.where($"minhash".isNull)
+      .drop("minhash", "simhash")
+      .withColumn("reject_reason", F.lit("no_content"))
+    val rejects = gateRejects.unionByName(noContent, allowMissingColumns = true)
     val sigCols = sigs.select("doc_id", "minhash", "simhash")
 
     // Op2 — LSH buckets → candidates → verification (reference Op2:
@@ -85,10 +89,11 @@ object DedupPipeline {
 
     // Op2b — exact-substring pass (north_star suffix-array analog)
     val substr =
-      if (cfg.substringPass)
+      (if (cfg.substringPass)
         SubstringDedup.substringEdges(sigs.select($"doc_id", $"text"), cfg)
           .select($"a", $"b")
-      else spark.emptyDataset[(Long, Long)].toDF("a", "b")
+      else spark.emptyDataset[(Long, Long)].toDF("a", "b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Op2c — group merge = connected components (reference put_dup_groups)
     val edges = verified.union(substr)
@@ -110,6 +115,7 @@ object DedupPipeline {
       .withColumn("is_canonical", $"doc_id" === $"winner_id")
       .withColumn("is_duplicate", !$"is_canonical")
       .drop("rank", "winner_id", "minhash", "simhash")
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Op5 — emission (reference write_output_files_pe: anti/semi routing)
     val deduped = flagged.where($"is_canonical")
@@ -118,28 +124,39 @@ object DedupPipeline {
       .drop("is_canonical", "is_duplicate")
     val clusters = flagged.select($"url", $"doc_id", $"cluster_id", $"is_canonical")
 
-    val metrics = metricsOf(spark, Seq(
-      "pages_total" -> pages.count(),
-      "rejects" -> rejects.count(),
-      "docs_admitted" -> sigs.count(),
-      "candidate_pairs" -> scored.count(),
-      "verified_pairs" -> verified.count(),
-      "near_miss_pairs" -> nearMisses.count(),
-      "substring_pairs" -> substr.count(),
-      "clusters_multi" -> flagged.where($"is_duplicate").select($"cluster_id").distinct().count(),
-      "duplicates_removed" -> flagged.where($"is_duplicate").count()
-    ), overflow)
+    // Report — consolidated into 4 aggregate jobs (one per cached stage),
+    // not a count() per counter: at bench/cluster scale serial driver jobs
+    // are pure Amdahl overhead.
+    val pagesTotal = pages.count()
+    val sigStats = sigsAll.agg(
+      F.count(F.lit(1)), F.count($"minhash")).head()
+    val (docsSigned, docsAdmitted) = (sigStats.getLong(0), sigStats.getLong(1))
+    val pairStats = scored.agg(
+      F.count(F.lit(1)),
+      F.coalesce(F.sum(F.when($"verified", 1L).otherwise(0L)), F.lit(0L))).head()
+    val (candPairs, verifiedPairs) = (pairStats.getLong(0), pairStats.getLong(1))
+    val substrPairs = substr.count()
+    val flagStats = flagged.agg(
+      F.coalesce(F.sum(F.when($"is_duplicate", 1L).otherwise(0L)), F.lit(0L)),
+      F.countDistinct(F.when($"is_duplicate", $"cluster_id"))).head()
+    val (dupsRemoved, clustersMulti) = (flagStats.getLong(0), flagStats.getLong(1))
+    val o = overflow.head()
+
+    val metrics = Seq(
+      "pages_total" -> pagesTotal,
+      "rejects" -> (pagesTotal - docsAdmitted),
+      "docs_admitted" -> docsAdmitted,
+      "no_content_rejects" -> (docsSigned - docsAdmitted),
+      "candidate_pairs" -> candPairs,
+      "verified_pairs" -> verifiedPairs,
+      "near_miss_pairs" -> (candPairs - verifiedPairs),
+      "substring_pairs" -> substrPairs,
+      "clusters_multi" -> clustersMulti,
+      "duplicates_removed" -> dupsRemoved,
+      "lsh_overflow_buckets" -> o.getLong(0),
+      "lsh_overflow_rows" -> o.getLong(1)
+    ).toDF("metric", "value").orderBy("metric")
 
     DedupResult(flagged, deduped, duplicates, clusters, nearMisses, rejects, metrics)
-  }
-
-  private def metricsOf(spark: SparkSession, counters: Seq[(String, Long)],
-                        overflow: DataFrame): DataFrame = {
-    import spark.implicits._
-    val o = overflow.head()
-    val all = counters ++ Seq(
-      "lsh_overflow_buckets" -> o.getLong(0),
-      "lsh_overflow_rows" -> o.getLong(1))
-    all.toDF("metric", "value").orderBy("metric")
   }
 }

@@ -40,6 +40,10 @@ object SubstringDedup {
 
     val postings = eligible.select(F.col("doc_id"), F.col("len"), F.col("nfp"),
       F.explode(F.col("fp")).as("f"))
+      // persisted: the posting list feeds a count agg AND both sides of the
+      // pair self-join — without this the winnowing expression tree is
+      // evaluated three times
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fpSizes = postings.groupBy("f").count()
     val okFps = fpSizes.where(F.col("count").between(2, cfg.maxFingerprintPostings))
       .select("f")

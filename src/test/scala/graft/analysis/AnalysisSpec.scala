@@ -1,0 +1,85 @@
+package graft.analysis
+
+import graft.SparkSpec
+import org.apache.spark.sql.{functions => F}
+
+class AnalysisSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("brute-force top-k: self excluded, k rows per id, deterministic") {
+    val top3 = Similarity.bruteForceTopK(emb, 3).cache()
+    assert(top3.where(F.col("vec_id") === F.col("nn_id")).count() === 0)
+    val counts = top3.groupBy("vec_id").count().select("count").distinct().collect()
+    assert(counts.map(_.getLong(0)).toSet === Set(3L))
+    val a = top3.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val b = Similarity.bruteForceTopK(emb.repartition(7), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(a === b)
+  }
+
+  test("LSH ANN: same-bucket recall@1 is substantial and all results are real vectors") {
+    val exact = Similarity.bruteForceTopK(emb, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val approx = Similarity.lshTopK(emb, 1, numPlanes = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = approx.count { case (id, nn) => exact.get(id).contains(nn) }
+    val recall = hits.toDouble / exact.size
+    // one probe of a 4-bucket partition; for random near-orthogonal data
+    // P(NN shares bucket) ≈ (1-θ/π)^planes ≈ 0.66² ≈ 0.44 — well above
+    // random (1/500), below 1.0 by design (multi-probe raises it)
+    assert(recall > 0.25, s"recall@1=$recall")
+    assert(approx.size <= exact.size)
+  }
+
+  test("embedding near-dup pairs: planted copies found, nothing else") {
+    val withCopies = emb.select("vec_id", "embedding").unionByName(
+      emb.where(F.col("vec_id") % 10 === 0)
+        .select((F.col("vec_id") + 1000000L).as("vec_id"), F.col("embedding")))
+    val pairs = Similarity.nearDupPairs(withCopies, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 500L by 10L).map(i => (i, i + 1000000L)).toSet
+    assert(pairs === expected)
+  }
+
+  test("multimodal: stub decode matches byte arithmetic; binary survives round trip") {
+    val media = docs.select(F.col("doc_id"), F.encode(F.col("text"), "UTF-8").as("payload"))
+    val meta = Multimodal.extractMeta(media).toDF()
+    val joined = meta.join(docs, "doc_id")
+      .where(F.col("n_bytes") =!= F.length(F.encode(F.col("text"), "UTF-8")) ||
+        F.col("width") =!= F.lit(320) + F.col("n_bytes") % 1280 ||
+        F.col("height") =!= F.lit(240) + F.col("n_bytes") % 720)
+    assert(joined.count() === 0)
+    assert(meta.count() === docs.count())
+  }
+
+  test("text analysis: langid/fingerprint/token stats behave on hand-built rows") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "el gato y la casa de los perros"),
+      (3L, "zzz qqq www"),
+      (4L, "One  Two\tTwo")).toDF("doc_id", "text")
+    val scores = TextAnalysis.langScores(F.col("text")).toMap
+    val out = df.select(F.col("doc_id"),
+      TextAnalysis.tokenCount(F.col("text")).as("nt"),
+      TextAnalysis.distinctTokenCount(F.col("text")).as("nd"),
+      TextAnalysis.fingerprint(F.col("text")).as("fp"),
+      scores("en").as("en"), scores("es").as("es"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("en") === 5) // the*3, and, of
+    assert(out(1L).getAs[Long]("es") === 0)
+    assert(out(2L).getAs[Long]("es") === 3) // el, la, los
+    assert(out(3L).getAs[Long]("en") === 0)
+    // single-space tokenizer (oracle-aligned): tab does NOT split
+    assert(out(4L).getAs[Long]("nt") === 2)
+    assert(out(4L).getAs[Long]("nd") === 2)
+    // fingerprint is whitespace/case insensitive
+    val fpA = out(4L).getAs[String]("fp")
+    val fpB = df.where($"doc_id" === 4).select(
+      TextAnalysis.fingerprint(F.lit("one two two"))).collect()(0).getString(0)
+    assert(fpA === fpB)
+  }
+}
