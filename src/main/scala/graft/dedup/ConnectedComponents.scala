@@ -92,7 +92,8 @@ object ConnectedComponents {
       .where($"v" > $"u")
       .select($"v".as("u"), $"m".as("v"))
       .where($"u" =!= $"v")
-      .distinct()
+    // no distinct here: duplicates are tolerated by small-star and removed
+    // by its distinct — saves one shuffle per round
   }
 
   /** small-star: orient edges big->small; connect every neighbor (and u)

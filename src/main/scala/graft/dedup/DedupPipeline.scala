@@ -64,17 +64,61 @@ object DedupPipeline {
     (sigsAll, rejects)
   }
 
+  /** Winner flags per doc: (doc_id, cluster_id, is_canonical,
+    * is_duplicate) from a cluster assignment (id, component). Pure hash
+    * rank (deterministic across partitionings; replaces seeded RNG,
+    * reference dedup.py:197-223). */
+  def winnerFlags(docIds: DataFrame, assign: DataFrame, cfg: DedupConfig): DataFrame = {
+    val spark = docIds.sparkSession
+    import spark.implicits._
+    val withCluster = docIds.select($"doc_id").join(
+      assign.select($"id".as("doc_id"), $"component"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", F.coalesce($"component", $"doc_id"))
+      .drop("component")
+    val ranked = withCluster.withColumn("rank",
+      F.xxhash64(F.lit(cfg.canonicalSeed), $"doc_id"))
+    val winners = ranked.groupBy($"cluster_id")
+      .agg(F.min_by($"doc_id", F.struct($"rank", $"doc_id")).as("winner_id"))
+    ranked.join(winners, "cluster_id")
+      .withColumn("is_canonical", $"doc_id" === $"winner_id")
+      .withColumn("is_duplicate", !$"is_canonical")
+      .select("doc_id", "cluster_id", "is_canonical", "is_duplicate")
+  }
+
+  /** Verified near-dup edges (LSH ∪ substring): the CC input. */
+  def dupEdges(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val sigCols = sigs.select("doc_id", "minhash", "simhash")
+    val (pairs, _) = Lsh.candidatePairs(sigCols, cfg)
+    val verified = Lsh.verifyPairs(pairs, sigCols, cfg)
+      .where($"verified").select($"a", $"b")
+    val substr =
+      if (cfg.substringPass)
+        SubstringDedup.substringEdges(sigs.select($"doc_id", $"text"), cfg)
+          .select($"a", $"b")
+      else spark.emptyDataset[(Long, Long)].toDF("a", "b")
+    verified.union(substr)
+  }
+
   /** Full run. `pages` must have columns (url, text, lang [, warc_ts, html]). */
   def run(pages: DataFrame, cfg: DedupConfig = DedupConfig()): DedupResult = {
     val spark = pages.sparkSession
     import spark.implicits._
 
-    // Op1 — signatures (reference Op1: build_read_and_loc_dbs)
+    // Op1 — signatures (reference Op1: build_read_and_loc_dbs).
+    // Payload discipline for 100 TB inputs: only (doc_id, text, minhash,
+    // simhash) is cached and shuffled through the compute stages; the wide
+    // row (html binary, timestamps) stays in the source scan and crosses
+    // exactly one shuffle — the final flag join at emission.
     val (sigsAllRaw, gateRejects) = signatures(pages, cfg)
-    val sigsAll = sigsAllRaw.persist(StorageLevel.MEMORY_AND_DISK)
+    val sigsAll = sigsAllRaw
+      .select("doc_id", "text", "minhash", "simhash")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = sigsAll.where($"minhash".isNotNull)
-    val noContent = sigsAll.where($"minhash".isNull)
-      .drop("minhash", "simhash")
+    val admittedWide = sigsAllRaw.drop("minhash", "simhash")
+    val noContent = admittedWide.join(
+      sigsAll.where($"minhash".isNull).select("doc_id"), Seq("doc_id"), "left_semi")
       .withColumn("reject_reason", F.lit("no_content"))
     val rejects = gateRejects.unionByName(noContent, allowMissingColumns = true)
     val sigCols = sigs.select("doc_id", "minhash", "simhash")
@@ -99,22 +143,12 @@ object DedupPipeline {
     val edges = verified.union(substr)
     val assign = ConnectedComponents.run(edges) // (id, component)
 
-    // every admitted doc: component = its CC root, else itself
-    val withCluster = sigs.join(
-      assign.select($"id".as("doc_id"), $"component"), Seq("doc_id"), "left")
-      .withColumn("cluster_id", F.coalesce($"component", $"doc_id"))
-      .drop("component")
+    // Op3 — winner per cluster (narrow: ids only — no payload in the
+    // winner shuffles)
+    val flags = winnerFlags(sigs, assign, cfg)
 
-    // Op3 — winner per cluster: pure hash rank (deterministic across
-    // partitionings; replaces seeded RNG, reference dedup.py:197-223)
-    val ranked = withCluster.withColumn("rank",
-      F.xxhash64(F.lit(cfg.canonicalSeed), $"url"))
-    val winners = ranked.groupBy($"cluster_id")
-      .agg(F.min_by($"doc_id", F.struct($"rank", $"doc_id")).as("winner_id"))
-    val flagged = ranked.join(winners, "cluster_id")
-      .withColumn("is_canonical", $"doc_id" === $"winner_id")
-      .withColumn("is_duplicate", !$"is_canonical")
-      .drop("rank", "winner_id", "minhash", "simhash")
+    // Op5 prep — the ONE wide join: flags back onto full admitted rows
+    val flagged = admittedWide.join(flags, "doc_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Op5 — emission (reference write_output_files_pe: anti/semi routing)

@@ -49,22 +49,37 @@ object Lsh {
   }
 
   /** Candidate pairs (a < b by doc_id) from band buckets, hot buckets
-    * capped. Returns (pairs, overflowStats). */
+    * capped. Returns (pairs, overflowStats).
+    *
+    * One shuffle on (band, bucket): a window count tags every member with
+    * its bucket size (no bucket is ever materialized as an array before
+    * the cap filter — the skew guard), then the capped groupBy reuses the
+    * window's hash partitioning (no second shuffle) to build bounded
+    * member arrays and emit intra-bucket pairs. The old shape
+    * (count-aggregate + join-back) recomputed the band explode twice and
+    * sorted it twice more for the self-join. */
   def candidatePairs(sigs: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val exploded = explodeBuckets(sigs, cfg)
-    val sizes = exploded.groupBy("band", "bucket").count()
-    val eligible = sizes.where(F.col("count").between(2, cfg.maxBucketSize))
-      .select("band", "bucket")
-    val overflow = sizes.where(F.col("count") > cfg.maxBucketSize)
-      .agg(F.coalesce(F.count(F.lit(1)), F.lit(0L)).as("overflow_buckets"),
+    val counted = exploded.withColumn("n",
+      F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")))
+    // overflow stats take their own narrow count-aggregate pass (partial
+    // agg, counts only) — cheaper than persisting the full window output
+    // just to read two numbers from it
+    val overflow = exploded.groupBy("band", "bucket").count()
+      .where(F.col("count") > cfg.maxBucketSize)
+      .agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0L)).as("overflow_buckets"),
         F.coalesce(F.sum("count"), F.lit(0L)).as("overflow_rows"))
-    // keep only members of small-enough, non-singleton buckets (the
-    // singleton short-circuit: reference/dupliganger/dedup.py:543-562)
-    val members = exploded.join(eligible, Seq("band", "bucket"))
-    val pairs = members.as("x")
-      .join(members.as("y"), Seq("band", "bucket"))
-      .where(F.col("x.doc_id") < F.col("y.doc_id"))
-      .select(F.col("x.doc_id").as("a"), F.col("y.doc_id").as("b"))
+    // singleton short-circuit (reference/dupliganger/dedup.py:543-562) +
+    // mega-bucket cap in one filter
+    val members = counted.where(F.col("n").between(2, cfg.maxBucketSize))
+    val buckets = members.groupBy("band", "bucket")
+      .agg(F.collect_list(F.col("doc_id")).as("ids")) // bounded by maxBucketSize
+    val pairs = buckets
+      .select(F.explode(F.col("ids")).as("a"), F.col("ids"))
+      .select(F.col("a"), F.explode(F.col("ids")).as("b"))
+      .where(F.col("a") < F.col("b"))
       .distinct()
     (pairs, overflow)
   }

@@ -38,23 +38,25 @@ object SubstringDedup {
       .withColumn("nfp", F.size(F.col("fp")))
       .where(F.col("nfp") > 0)
 
+    // one shuffle on fingerprint: window count tags posting-list size
+    // (no list materialized before the cap), capped groupBy reuses the
+    // partitioning to build bounded member arrays, pairs explode from them
     val postings = eligible.select(F.col("doc_id"), F.col("len"), F.col("nfp"),
       F.explode(F.col("fp")).as("f"))
-      // persisted: the posting list feeds a count agg AND both sides of the
-      // pair self-join — without this the winnowing expression tree is
-      // evaluated three times
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fpSizes = postings.groupBy("f").count()
-    val okFps = fpSizes.where(F.col("count").between(2, cfg.maxFingerprintPostings))
-      .select("f")
-    val small = postings.join(okFps, "f")
+    val counted = postings.withColumn("pn",
+      F.count(F.lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("f")))
+      .where(F.col("pn").between(2, cfg.maxFingerprintPostings))
+    val buckets = counted.groupBy("f")
+      .agg(F.collect_list(F.struct(F.col("doc_id"), F.col("len"), F.col("nfp"))).as("ms"))
 
     // directed candidates: shorter doc (a) potentially inside longer (b);
     // shared-fingerprint count / |fp(a)| = containment estimate
-    val cand = small.as("x").join(small.as("y"), Seq("f"))
-      .where(F.col("x.doc_id") =!= F.col("y.doc_id") &&
-        (F.col("x.len") < F.col("y.len") ||
-          (F.col("x.len") === F.col("y.len") && F.col("x.doc_id") < F.col("y.doc_id"))))
+    val cand = buckets
+      .select(F.explode(F.col("ms")).as("x"), F.col("ms"))
+      .select(F.col("x"), F.explode(F.col("ms")).as("y"))
+      .where(F.col("x.len") < F.col("y.len") ||
+        (F.col("x.len") === F.col("y.len") && F.col("x.doc_id") < F.col("y.doc_id")))
       .groupBy(F.col("x.doc_id").as("a"), F.col("y.doc_id").as("b"))
       .agg(F.count(F.lit(1)).as("shared"), F.first(F.col("x.nfp")).as("nfp_a"))
       .withColumn("containment", F.col("shared").cast("double") / F.col("nfp_a"))

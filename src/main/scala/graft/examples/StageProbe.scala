@@ -9,9 +9,18 @@ object StageProbe {
     val spark = SparkSession.builder().master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", math.max(cores,8).toString)
       .config("spark.sql.adaptive.enabled","true")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR","/dev/shm/spark-local"))
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
+        if (wall > 1.0)
+          println(f"  TASKSTAGE id=${si.stageId}%4d tasks=${si.numTasks}%5d wall=$wall%7.1fs cpu=${si.taskMetrics.executorRunTime/1e3}%8.1fs gc=${si.taskMetrics.jvmGCTime/1e3}%6.1fs ${si.name.take(40)}")
+      }
+    })
     val cfg = DedupConfig(allowedLangs=Some(Set("en")))
     def tick(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()

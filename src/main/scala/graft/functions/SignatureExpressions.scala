@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -37,7 +38,7 @@ case class ShingleHashes(child: Expression, k: Int, seed: Long)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    new GenericArrayData(ShingleHashes.compute(text, k, seed))
+    UnsafeArrayData.fromPrimitiveArray(ShingleHashes.compute(text, k, seed))
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
@@ -137,7 +138,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
       }
       j += 1
     }
-    new GenericArrayData(mins)
+    UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
@@ -215,7 +216,7 @@ case class WinnowedFingerprints(child: Expression, w: Int, win: Int, seed: Long)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    new GenericArrayData(WinnowedFingerprints.compute(text, w, win, seed))
+    UnsafeArrayData.fromPrimitiveArray(WinnowedFingerprints.compute(text, w, win, seed))
   }
 
   override protected def withNewChildInternal(newChild: Expression): WinnowedFingerprints =
