@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audits: the plan properties the 100 TB design depends on
+  * must hold in the compiled plan, not just in intent. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
+
+  test("q1_agg: filter pushed to parquet scan, columns pruned") {
+    val p = plan(q("q1_agg"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // projection needs only 5 of 11 lineitem columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
+      readSchema)
+  }
+
+  test("q_join_agg: small dimension joined via broadcast, partial aggregation present") {
+    val p = plan(q("q_join_agg"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q_anti_join / q_semi_join compile to join, not subquery re-scan") {
+    assert(plan(q("q_anti_join")).contains("LeftAnti"), "anti")
+    assert(plan(q("q_semi_join")).contains("LeftSemi"), "semi")
+  }
+
+  test("exact dedup: map-side partial aggregation before the shuffle") {
+    val p = plan(q("q_exact_dedup_groups"))
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final HashAggregate:\n$p")
+    assert(p.contains("hashpartitioning"), p)
+  }
+
+  test("signature stage stays in whole-stage codegen (custom exprs are leaves)") {
+    import org.apache.spark.sql.{functions => F}
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+      .select(F.col("doc_id"),
+        graft.functions.minhash(graft.functions.shingles(F.col("text"), 3), 32).as("mh"))
+      .where(F.col("mh").isNotNull)
+    // the asterisk prefix marks operators fused into whole-stage codegen
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("*("), executed)
+  }
+
+  test("token stats: single scan, no shuffle (pure projection)") {
+    val p = plan(q("q_token_stats"))
+    assert(!p.contains("Exchange"), p)
+  }
+}
