@@ -117,6 +117,21 @@ object SparkEntry {
         .select("c_custkey")
     }),
 
+    "q_sessionize" -> ((s, dir) => {
+      // gap-based sessionization (30-min inactivity) — the engine's
+      // event-time take on G1 "group adjacent rows by key"
+      // (reference/dupliganger/build_read_and_loc_dbs.py:122-202)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .withColumn("brk",
+          F.when(F.unix_timestamp(F.col("ts"))
+            - F.unix_timestamp(F.lag("ts", 1).over(w)) > 1800, 1L).otherwise(0L))
+        .withColumn("session_seq", F.sum("brk").over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("event_id", "user_id", "session_seq")
+    }),
+
     "q_events_agg" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy("event_type")
@@ -292,6 +307,17 @@ object SparkEntry {
       """SELECT c_custkey FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT event_id, user_id, ts,
+        |         CASE WHEN epoch(ts)::BIGINT - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT > 1800
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |       CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |FROM flagged""".stripMargin,
 
     "q_events_agg" ->
       """SELECT event_type, count(*) AS n_events,

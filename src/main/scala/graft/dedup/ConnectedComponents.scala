@@ -78,6 +78,24 @@ object ConnectedComponents {
     materialized
   }
 
+  /** GraphX fallback — the one place BASELINE.json permits an RDD ("no
+    * RDD fallback except where union-find iteration forces it"). Same
+    * contract as [[run]], but component ids follow GraphX's convention
+    * (min vertex id — identical to ours). Prefer [[run]]: the DataFrame
+    * loop keeps AQE/codegen and avoids RDD serialization; this exists as
+    * the escape hatch for pathological graphs (very long chains) where
+    * Pregel's in-memory vertex state wins. */
+  def runGraphX(edges: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val in = edges.toDF("u", "v").where($"u".isNotNull && $"v".isNotNull)
+    val edgeRdd = in.as[(Long, Long)].rdd.map { case (u, v) => Edge(u, v, ()) }
+    val graph = Graph.fromEdges(edgeRdd, ())
+    val cc = org.apache.spark.graphx.lib.ConnectedComponents.run(graph)
+    cc.vertices.toDF("id", "component")
+  }
+
   /** large-star: for every node u, connect every strictly-larger neighbor
     * to the minimum of u's neighborhood (including u itself). */
   private def largeStar(edges: DataFrame): DataFrame = {

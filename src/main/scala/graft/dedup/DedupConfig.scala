@@ -24,6 +24,12 @@ final case class DedupConfig(
       * (boilerplate mega-buckets); dropped volume is reported in metrics.
       * The hot-bucket cap from SURVEY.md §4. */
     maxBucketSize: Int = 2000,
+    /** "window" (one shuffle; fine when mega-buckets are rare) or
+      * "salted" (two-phase salted size count — no task ever holds a hot
+      * bucket; use on boilerplate-heavy web corpora / real clusters). */
+    hotBucketStrategy: String = "window",
+    /** Salt fan-out for the salted strategy's partial size aggregation. */
+    saltBuckets: Int = 64,
     /** Winnowing window sizes for the exact-substring pass: any shared
       * substring of ≥ winnowW + winnowWin − 1 chars shares a fingerprint.
       * win also sets the sampling density (~2/(win+1) of all grams): the
@@ -53,4 +59,6 @@ final case class DedupConfig(
 ) {
   require(numHashes == bands * rowsPerBand,
     s"numHashes ($numHashes) must equal bands*rowsPerBand (${bands * rowsPerBand})")
+  require(Set("window", "salted").contains(hotBucketStrategy),
+    s"hotBucketStrategy must be 'window' or 'salted', got '$hotBucketStrategy'")
 }

@@ -58,7 +58,46 @@ object Lsh {
     * member arrays and emit intra-bucket pairs. The old shape
     * (count-aggregate + join-back) recomputed the band explode twice and
     * sorted it twice more for the self-join. */
-  def candidatePairs(sigs: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) = {
+  def candidatePairs(sigs: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) =
+    if (cfg.hotBucketStrategy == "salted") candidatePairsSalted(sigs, cfg)
+    else candidatePairsWindow(sigs, cfg)
+
+  /** Salted two-phase strategy — the 10^12-doc path (north_rule: "salted
+    * repartition + groupBy to tame hot-bucket skew"). Bucket sizes are
+    * aggregated per (band, bucket, salt) first — a boilerplate mega-bucket
+    * spreads over `saltBuckets` reducers instead of one — then rolled up,
+    * so NO task ever receives all rows of a hot bucket at any point: the
+    * eligibility filter (2 ≤ n ≤ cap) is joined back onto the exploded
+    * rows BEFORE the only shuffle that co-locates a bucket, and by then
+    * hot buckets are already excluded. The window strategy below is
+    * cheaper when mega-buckets are rare (one shuffle, no join-back), but
+    * its window sort would single-task a hot bucket first.
+    */
+  def candidatePairsSalted(sigs: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) = {
+    val exploded = explodeBuckets(sigs, cfg)
+    val salted = exploded.withColumn("salt",
+      F.pmod(F.xxhash64(F.col("doc_id")), F.lit(cfg.saltBuckets)))
+    val partial = salted.groupBy("band", "bucket", "salt").count()
+    val sizes = partial.groupBy("band", "bucket")
+      .agg(F.sum("count").as("n"))
+    val overflow = sizes.where(F.col("n") > cfg.maxBucketSize)
+      .agg(F.coalesce(F.count(F.lit(1)), F.lit(0L)).as("overflow_buckets"),
+        F.coalesce(F.sum("n"), F.lit(0L)).as("overflow_rows"))
+    val eligible = sizes.where(F.col("n").between(2, cfg.maxBucketSize))
+      .select("band", "bucket")
+    val members = exploded.join(eligible.hint("shuffle_hash"), Seq("band", "bucket"))
+    val buckets = members.groupBy("band", "bucket")
+      .agg(F.collect_list(F.col("doc_id")).as("ids")) // bounded by maxBucketSize
+    val pairs = buckets
+      .select(F.explode(F.col("ids")).as("a"), F.col("ids"))
+      .select(F.col("a"), F.explode(F.col("ids")).as("b"))
+      .where(F.col("a") < F.col("b"))
+      .distinct()
+    (pairs, overflow)
+  }
+
+  /** Single-shuffle window strategy — the default. */
+  def candidatePairsWindow(sigs: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val exploded = explodeBuckets(sigs, cfg)
     val counted = exploded.withColumn("n",

@@ -1,0 +1,54 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.io.SyntheticCorpus
+import org.apache.spark.sql.{functions => F}
+import graft.functions._
+
+class LshSpec extends SparkSpec {
+
+  private def sigsOf(n: Long) = {
+    val cfg = DedupConfig()
+    SyntheticCorpus.pages(spark, n)
+      .where(F.length(F.trim(F.col("text"))) > 0)
+      .select(F.xxhash64(F.lit(cfg.seed), F.col("url")).as("doc_id"),
+        minhash(shingles(F.col("text"), cfg.shingleK, cfg.seed), cfg.numHashes, cfg.seed).as("minhash"),
+        simhash(shingles(F.col("text"), cfg.shingleK, cfg.seed), cfg.seed).as("simhash"))
+      .where(F.col("minhash").isNotNull)
+  }
+
+  test("salted and window hot-bucket strategies emit identical candidate pairs") {
+    val sigs = sigsOf(800).cache()
+    val (pw, ow) = Lsh.candidatePairsWindow(sigs, DedupConfig())
+    val (ps, os) = Lsh.candidatePairsSalted(sigs, DedupConfig(hotBucketStrategy = "salted"))
+    val a = pw.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = ps.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+    assert(ow.head().getLong(1) === os.head().getLong(1)) // same overflow rows
+  }
+
+  test("both strategies enforce the mega-bucket cap identically") {
+    val sigs = sigsOf(800).cache()
+    // absurdly small cap: every multi-member bucket overflows
+    for (strategy <- Seq("window", "salted")) {
+      val cfg = DedupConfig(maxBucketSize = 1, hotBucketStrategy = strategy)
+      val (pairs, overflow) = Lsh.candidatePairs(sigs, cfg)
+      assert(pairs.count() === 0, strategy)
+      assert(overflow.head().getLong(1) > 0, strategy)
+    }
+  }
+
+  test("GraphX CC fallback agrees with the DataFrame loop") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(5)
+    val edges = Seq.fill(200)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+    val df = ConnectedComponents.run(edges.toDF("u", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val gx = ConnectedComponents.runGraphX(edges.toDF("u", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(df === gx)
+  }
+}
