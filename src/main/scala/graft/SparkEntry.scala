@@ -268,7 +268,22 @@ object SparkEntry {
       val media = docs(s, dir)
         .select(F.col("doc_id"), F.encode(F.col("text"), "UTF-8").as("payload"))
       Multimodal.extractMeta(media).toDF()
-    })
+    }),
+
+    "q_frame_sample" -> ((s, dir) => {
+      // binary frame sampling: one row per 4 KiB payload chunk (real byte
+      // slices in `frame`; the oracle checks the arithmetic columns)
+      val media = docs(s, dir)
+        .select(F.col("doc_id"), F.encode(F.col("text"), "UTF-8").as("payload"))
+      Multimodal.sampleFrames(media, 4096)
+        .select("doc_id", "frame_idx", "frame_len")
+    }),
+
+    "q_winnow_fingerprints" -> ((s, dir) =>
+      // rolling-hash document fingerprinting (winnowing); no SQL oracle —
+      // the guarantee is property-tested in SignatureExpressionsSpec
+      docs(s, dir).select(F.col("doc_id"),
+        F.size(winnowedFingerprints(F.col("text"), 48, 48)).cast("long").as("n_fp")))
   )
 
   // -------------------------------------------------------------- oracleSql
@@ -424,6 +439,14 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents""".stripMargin,
+
+    "q_frame_sample" ->
+      """WITH sized AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |frames AS (SELECT doc_id, n, unnest(range(0, (n + 4095) // 4096)) AS frame_idx
+        |           FROM sized)
+        |SELECT doc_id, frame_idx,
+        |       least(4096, n - frame_idx * 4096) AS frame_len
+        |FROM frames""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

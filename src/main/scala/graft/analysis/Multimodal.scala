@@ -53,4 +53,32 @@ object Multimodal {
         it.map { case (id, bytes) => decodeStub(id, bytes) }
       }
   }
+
+  /** Frame sampling: chunk the opaque payload into fixed-size frames —
+    * one output row per frame, real byte slicing (a video frame-sampler
+    * swaps the slice for a demuxer call; the explode shape, schema and
+    * partition-batching stay). Output: (doc_id, frame_idx, frame_len,
+    * frame) where frame is the actual byte slice. */
+  def sampleFrames(media: DataFrame, frameBytes: Int,
+                   idCol: String = "doc_id",
+                   payloadCol: String = "payload"): DataFrame = {
+    require(frameBytes > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(F.col(idCol).cast("long"), F.col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val payload = if (bytes == null) Array.emptyByteArray else bytes
+          val nFrames = (payload.length + frameBytes - 1) / frameBytes
+          (0 until nFrames).iterator.map { i =>
+            val from = i * frameBytes
+            val until = math.min(payload.length, from + frameBytes)
+            (id, i.toLong, (until - from).toLong,
+              java.util.Arrays.copyOfRange(payload, from, until))
+          }
+        }
+      }
+      .toDF(idCol, "frame_idx", "frame_len", "frame")
+  }
 }

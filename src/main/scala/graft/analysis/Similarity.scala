@@ -32,20 +32,62 @@ object Similarity {
   }
 
   /** Exact brute-force top-k nearest neighbors by cosine.
-    * O(n²) compare — the correctness oracle and the small-n baseline. At
-    * scale, swap in [[lshTopK]] (same output columns) or an IVF variant.
-    * Output: vec_id, rank (1..k), nn_id. Ties broken by nn_id ascending —
-    * fully deterministic. */
+    * Output: vec_id, rank (1..k), nn_id. Ties broken by cos desc, nn_id
+    * ascending — fully deterministic.
+    *
+    * Physical strategy: the candidate side is broadcast as one dense
+    * primitive matrix and each partition of the query side scans it with
+    * tight double loops inside `mapPartitions` — the standard
+    * block-broadcast exact-kNN layout (no shuffle at all; the per-pair
+    * Catalyst `zip_with` form allocates an array per comparison and runs
+    * ~20× slower). Scale envelope: candidate side must fit an executor
+    * (~n·dim·8 bytes); beyond that, block the candidate side and merge
+    * per-block top-k (same code per block), or switch to [[lshTopK]]. */
   def bruteForceTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val e = prepared(embeddings)
-    val a = e.select(F.col("vec_id"), F.col("emb").as("ea"), F.col("nrm").as("na"))
-    val b = e.select(F.col("vec_id").as("nn_id"), F.col("emb").as("eb"), F.col("nrm").as("nb"))
-    val scored = a.join(b, F.col("vec_id") =!= F.col("nn_id"))
-      .withColumn("cos", cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")))
-    val w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc, F.col("nn_id"))
-    scored.withColumn("rank", F.row_number().over(w))
-      .where(F.col("rank") <= k)
-      .select(F.col("vec_id"), F.col("rank").cast("long").as("rank"), F.col("nn_id"))
+      .select(F.col("vec_id"),
+        F.transform(F.col("emb"), x => x / F.col("nrm")).as("unit"))
+      .as[(Long, Array[Double])]
+    val all = e.collectAsList() // candidate side; see scale envelope above
+    val ids = new Array[Long](all.size)
+    val mat = new Array[Array[Double]](all.size)
+    var i = 0
+    while (i < all.size) { ids(i) = all.get(i)._1; mat(i) = all.get(i)._2; i += 1 }
+    val bcIds = spark.sparkContext.broadcast(ids)
+    val bcMat = spark.sparkContext.broadcast(mat)
+
+    e.mapPartitions { it =>
+      val cids = bcIds.value; val cmat = bcMat.value
+      val n = cids.length
+      it.flatMap { case (qid, q) =>
+        // running top-k (selection by insertion — k is small)
+        val topCos = Array.fill(k)(Double.NegativeInfinity)
+        val topId = new Array[Long](k)
+        var j = 0
+        while (j < n) {
+          if (cids(j) != qid) {
+            val row = cmat(j)
+            var d = 0.0
+            var t = 0
+            while (t < row.length) { d += q(t) * row(t); t += 1 }
+            // insert if better than the current k-th (tie: smaller id wins)
+            if (d > topCos(k - 1) ||
+              (d == topCos(k - 1) && cids(j) < topId(k - 1))) {
+              var pos = k - 1
+              while (pos > 0 && (d > topCos(pos - 1) ||
+                (d == topCos(pos - 1) && cids(j) < topId(pos - 1)))) {
+                topCos(pos) = topCos(pos - 1); topId(pos) = topId(pos - 1); pos -= 1
+              }
+              topCos(pos) = d; topId(pos) = cids(j)
+            }
+          }
+          j += 1
+        }
+        (0 until math.min(k, n - 1)).iterator.map(r => (qid, (r + 1).toLong, topId(r)))
+      }
+    }.toDF("vec_id", "rank", "nn_id")
   }
 
   /** Signed projection onto pseudo-random hyperplane `p` (Rademacher ±1
@@ -87,14 +129,44 @@ object Similarity {
       .select(F.col("vec_id"), F.col("rank").cast("long").as("rank"), F.col("nn_id"))
   }
 
-  /** Near-duplicate vector pairs: cosine ≥ threshold, a < b. Brute-force
-    * form; at scale route through rhpBucket blocking first. */
+  /** Near-duplicate vector pairs: cosine ≥ threshold, vec_a < vec_b.
+    * Same block-broadcast layout as [[bruteForceTopK]] (each partition
+    * scans the broadcast unit-vector matrix; only j > i compared); at
+    * corpus sizes past the broadcast envelope, block the candidate side
+    * or route through rhpBucket blocking first. */
   def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val e = prepared(embeddings)
-    val a = e.select(F.col("vec_id").as("vec_a"), F.col("emb").as("ea"), F.col("nrm").as("na"))
-    val b = e.select(F.col("vec_id").as("vec_b"), F.col("emb").as("eb"), F.col("nrm").as("nb"))
-    a.join(b, F.col("vec_a") < F.col("vec_b"))
-      .where(cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")) >= threshold)
-      .select("vec_a", "vec_b")
+      .select(F.col("vec_id"),
+        F.transform(F.col("emb"), x => x / F.col("nrm")).as("unit"))
+      .as[(Long, Array[Double])]
+    val all = e.collectAsList()
+    val ids = new Array[Long](all.size)
+    val mat = new Array[Array[Double]](all.size)
+    var i = 0
+    while (i < all.size) { ids(i) = all.get(i)._1; mat(i) = all.get(i)._2; i += 1 }
+    val bcIds = spark.sparkContext.broadcast(ids)
+    val bcMat = spark.sparkContext.broadcast(mat)
+
+    e.mapPartitions { it =>
+      val cids = bcIds.value; val cmat = bcMat.value
+      val n = cids.length
+      it.flatMap { case (qid, q) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var j = 0
+        while (j < n) {
+          if (cids(j) > qid) {
+            val row = cmat(j)
+            var d = 0.0
+            var t = 0
+            while (t < row.length) { d += q(t) * row(t); t += 1 }
+            if (d >= threshold) out += ((qid, cids(j)))
+          }
+          j += 1
+        }
+        out.iterator
+      }
+    }.toDF("vec_a", "vec_b")
   }
 }

@@ -35,7 +35,7 @@ final case class DedupConfig(
       * win also sets the sampling density (~2/(win+1) of all grams): the
       * posting volume knob — at 10^12 docs this is the dominant shuffle. */
     winnowW: Int = 48,
-    winnowWin: Int = 48,
+    winnowWin: Int = 64,
     /** Fraction of the contained doc's fingerprints that must appear in the
       * container before the literal `contains` verification runs. */
     containmentThreshold: Double = 0.8,

@@ -38,15 +38,16 @@ object Lsh {
       F.sequence(F.lit(0), F.lit(bands - 1)),
       b => F.xxhash64(b, F.slice(minhashCol, b * rowsPerBand + 1, F.lit(rowsPerBand))))
 
-  /** (doc_id, band, bucket) — one row per band per doc. */
-  def explodeBuckets(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val withBands = sigs
+  /** (doc_id, bucket) — one row per band per doc. The band index is
+    * already folded into the 64-bit bucket key (xxhash64(band, slice)),
+    * so carrying a separate band column would only widen the explode —
+    * the biggest shuffle in the pipeline — by 50%. */
+  def explodeBuckets(sigs: DataFrame, cfg: DedupConfig): DataFrame =
+    sigs
       .where(F.col("minhash").isNotNull)
       .select(F.col("doc_id"),
-        F.posexplode(bandBuckets(F.col("minhash"), cfg.bands, cfg.rowsPerBand))
-          .as(Seq("band", "bucket")))
-    withBands
-  }
+        F.explode(bandBuckets(F.col("minhash"), cfg.bands, cfg.rowsPerBand))
+          .as("bucket"))
 
   /** Candidate pairs (a < b by doc_id) from band buckets, hot buckets
     * capped. Returns (pairs, overflowStats).
@@ -77,16 +78,16 @@ object Lsh {
     val exploded = explodeBuckets(sigs, cfg)
     val salted = exploded.withColumn("salt",
       F.pmod(F.xxhash64(F.col("doc_id")), F.lit(cfg.saltBuckets)))
-    val partial = salted.groupBy("band", "bucket", "salt").count()
-    val sizes = partial.groupBy("band", "bucket")
+    val partial = salted.groupBy("bucket", "salt").count()
+    val sizes = partial.groupBy("bucket")
       .agg(F.sum("count").as("n"))
     val overflow = sizes.where(F.col("n") > cfg.maxBucketSize)
       .agg(F.coalesce(F.count(F.lit(1)), F.lit(0L)).as("overflow_buckets"),
         F.coalesce(F.sum("n"), F.lit(0L)).as("overflow_rows"))
     val eligible = sizes.where(F.col("n").between(2, cfg.maxBucketSize))
-      .select("band", "bucket")
-    val members = exploded.join(eligible.hint("shuffle_hash"), Seq("band", "bucket"))
-    val buckets = members.groupBy("band", "bucket")
+      .select("bucket")
+    val members = exploded.join(eligible.hint("shuffle_hash"), Seq("bucket"))
+    val buckets = members.groupBy("bucket")
       .agg(F.collect_list(F.col("doc_id")).as("ids")) // bounded by maxBucketSize
     val pairs = buckets
       .select(F.explode(F.col("ids")).as("a"), F.col("ids"))
@@ -101,11 +102,11 @@ object Lsh {
     import org.apache.spark.sql.expressions.Window
     val exploded = explodeBuckets(sigs, cfg)
     val counted = exploded.withColumn("n",
-      F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")))
+      F.count(F.lit(1)).over(Window.partitionBy("bucket")))
     // overflow stats take their own narrow count-aggregate pass (partial
     // agg, counts only) — cheaper than persisting the full window output
     // just to read two numbers from it
-    val overflow = exploded.groupBy("band", "bucket").count()
+    val overflow = exploded.groupBy("bucket").count()
       .where(F.col("count") > cfg.maxBucketSize)
       .agg(
         F.coalesce(F.count(F.lit(1)), F.lit(0L)).as("overflow_buckets"),
@@ -113,7 +114,7 @@ object Lsh {
     // singleton short-circuit (reference/dupliganger/dedup.py:543-562) +
     // mega-bucket cap in one filter
     val members = counted.where(F.col("n").between(2, cfg.maxBucketSize))
-    val buckets = members.groupBy("band", "bucket")
+    val buckets = members.groupBy("bucket")
       .agg(F.collect_list(F.col("doc_id")).as("ids")) // bounded by maxBucketSize
     val pairs = buckets
       .select(F.explode(F.col("ids")).as("a"), F.col("ids"))
@@ -124,13 +125,25 @@ object Lsh {
   }
 
   /** Attach signatures to pairs and score them. Output columns:
-    * a, b, est_jaccard, sim_hamming, verified. */
+    * a, b, est_jaccard, sim_hamming, verified.
+    *
+    * Join discipline (same as SubstringDedup's verification): semi-join
+    * reduce the fat signature table to pair members first — the minhash
+    * payload that crosses a shuffle is bounded by candidate-member count,
+    * not corpus size — then hash joins (sort-merge would sort a kilobyte
+    * of signature per row just to equality-match an id). */
   def verifyPairs(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val sa = sigs.select(F.col("doc_id").as("a"),
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val memberIds = p.select(F.col("a").as("doc_id"))
+      .union(p.select(F.col("b").as("doc_id"))).distinct()
+    val needed = sigs.join(memberIds, Seq("doc_id"), "left_semi")
+      .select("doc_id", "minhash", "simhash")
+    val sa = needed.select(F.col("doc_id").as("a"),
       F.col("minhash").as("ma"), F.col("simhash").as("sa"))
-    val sb = sigs.select(F.col("doc_id").as("b"),
+    val sb = needed.select(F.col("doc_id").as("b"),
       F.col("minhash").as("mb"), F.col("simhash").as("sb"))
-    pairs.join(sa, "a").join(sb, "b")
+    p.join(sa.hint("shuffle_hash"), "a")
+      .join(sb.hint("shuffle_hash"), "b")
       .withColumn("est_jaccard", estJaccard(F.col("ma"), F.col("mb")))
       .withColumn("sim_hamming", hammingDistance(F.col("sa"), F.col("sb")))
       .withColumn("verified", F.col("est_jaccard") >= cfg.tau)

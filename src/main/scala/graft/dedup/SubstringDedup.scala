@@ -28,9 +28,23 @@ import graft.functions._
 object SubstringDedup {
 
   /** Directed verified edges (a "contained-in" b, emitted as undirected
-    * (a, b) for clustering) among docs: columns a, b, containment. */
+    * (a, b) for clustering) among docs: columns a, b, containment.
+    *
+    * Exact-duplicate reduction: the pass runs over ONE representative per
+    * distinct text (min doc_id). Identical texts have identical MinHash
+    * signatures, land in identical LSH bands and are always verified at
+    * est-Jaccard 1.0, so the LSH pass links every exact sibling to the
+    * representative and connected components merges the substring edges
+    * transitively. On dup-heavy corpora this removes the densest
+    * fingerprint buckets outright (every exact pair shares ALL
+    * fingerprints). Callers composing substringEdges WITHOUT the LSH pass
+    * must expand edges over exact-text groups themselves. */
   def substringEdges(docs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val eligible = docs
+    val reps = docs
+      .groupBy(F.xxhash64(F.col("text")).as("th"))
+      .agg(F.min(F.col("doc_id")).as("doc_id"), F.first(F.col("text")).as("text"))
+      .drop("th")
+    val eligible = reps
       .where(F.length(F.col("text")) >= cfg.minSubstringChars)
       .select(F.col("doc_id"),
         winnowedFingerprints(F.col("text"), cfg.winnowW, cfg.winnowWin, cfg.seed).as("fp"),
@@ -62,12 +76,24 @@ object SubstringDedup {
       .withColumn("containment", F.col("shared").cast("double") / F.col("nfp_a"))
       .where(F.col("containment") >= cfg.containmentThreshold)
       .select("a", "b", "containment")
+      // consumed twice below (doc-reduction semi-join + the pair join):
+      // without this the winnow/window/agg subtree runs twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // exact verification: literal substring occurrence (ASCII-case-folded,
-    // matching the fingerprint fold)
-    val ta = docs.select(F.col("doc_id").as("a"), F.lower(F.col("text")).as("text_a"))
-    val tb = docs.select(F.col("doc_id").as("b"), F.lower(F.col("text")).as("text_b"))
-    cand.join(ta, "a").join(tb, "b")
+    // matching the fingerprint fold). Join discipline: (1) semi-join
+    // reduce the text table to candidate members only — the payload that
+    // crosses a shuffle is bounded by candidate count, not corpus size;
+    // (2) shuffle-hash joins — sort-merge would sort megabytes of text
+    // per row for a hash-equality lookup.
+    val candDocs = cand.select(F.col("a").as("doc_id"))
+      .union(cand.select(F.col("b").as("doc_id"))).distinct()
+    val needed = reps.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(F.col("doc_id"), F.lower(F.col("text")).as("t"))
+    val ta = needed.select(F.col("doc_id").as("a"), F.col("t").as("text_a"))
+    val tb = needed.select(F.col("doc_id").as("b"), F.col("t").as("text_b"))
+    cand.join(ta.hint("shuffle_hash"), "a")
+      .join(tb.hint("shuffle_hash"), "b")
       .where(F.col("text_b").contains(F.col("text_a")))
       .select("a", "b", "containment")
   }
