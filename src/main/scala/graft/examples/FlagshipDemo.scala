@@ -20,7 +20,15 @@ object FlagshipDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // SQL surface: every custom expression callable from spark.sql
+    graft.functions.GraftFunctions.register(spark)
     val pages = SyntheticCorpus.pages(spark, n)
+    pages.createOrReplaceTempView("pages")
+    spark.sql(
+      """SELECT url, simhash64(shingle_hashes(text, 9)) AS simhash,
+        |       size(minhash_signature(shingle_hashes(text, 9), 128)) AS mh_len
+        |FROM pages WHERE length(text) > 0 LIMIT 3""".stripMargin)
+      .show(truncate = false)
     val res = DedupPipeline.run(pages, DedupConfig(allowedLangs = Some(Set("en"))))
     res.metrics.show(30, truncate = false)
     println("sample duplicate clusters:")
