@@ -1,0 +1,71 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** N-gram Jaccard pair scoring, two physical forms with identical output:
+  *
+  *  - [[pairwise]]: blocked all-pairs join + `array_intersect` per pair —
+  *    simple, exact, right when blocks are small (the oracle-checked
+  *    `q_ngram_jaccard_pairs` uses this form).
+  *  - [[indexed]]: inverted-index form — explode n-grams to postings,
+  *    count shared grams per pair with one aggregation, left-join the
+  *    counts back onto the (small) pair frame. At 10^12 docs this is the
+  *    only viable shape: per-pair set intersection touches every n-gram
+  *    of both documents per comparison (O(pairs × doc_len)), while the
+  *    posting aggregation touches each n-gram occurrence once
+  *    (O(corpus_len + shared_occurrences)).
+  *
+  * Both emit (doc_a, doc_b, inter_size, union_size) for every intra-block
+  * pair, doc_a < doc_b, integers only.
+  */
+object NgramJaccard {
+
+  /** Distinct word n-gram set of a text column (space tokenizer,
+    * empty-token safe; mirrors the DuckDB oracle exactly). */
+  def ngrams(text: Column, n: Int): Column = {
+    val ws = TextAnalysis.tokens(text)
+    F.when(F.size(ws) >= n,
+      F.array_distinct(F.transform(F.sequence(F.lit(0), F.size(ws) - n),
+        i => F.concat_ws(" ", (0 until n).map(j => F.element_at(ws, i + j + 1)): _*))))
+      .otherwise(F.array().cast("array<string>"))
+  }
+
+  private def prepared(docs: DataFrame, blockCol: String, n: Int): DataFrame =
+    docs.select(F.col("doc_id"), F.col(blockCol).as("blk"),
+      ngrams(F.col("text"), n).as("g"))
+      .withColumn("ng", F.size(F.col("g")).cast("long"))
+
+  /** All-pairs within block, per-pair set intersection. */
+  def pairwise(docs: DataFrame, blockCol: String, n: Int): DataFrame = {
+    val d = prepared(docs, blockCol, n)
+    d.as("x").join(d.as("y"),
+      F.col("x.blk") === F.col("y.blk") && F.col("x.doc_id") < F.col("y.doc_id"))
+      .select(
+        F.col("x.doc_id").as("doc_a"), F.col("y.doc_id").as("doc_b"),
+        F.size(F.array_intersect(F.col("x.g"), F.col("y.g"))).cast("long").as("inter_size"),
+        (F.col("x.ng") + F.col("y.ng")
+          - F.size(F.array_intersect(F.col("x.g"), F.col("y.g")))).as("union_size"))
+  }
+
+  /** Inverted-index form: postings → shared-gram counts → join back onto
+    * the pair frame (pairs with zero overlap included via left join). */
+  def indexed(docs: DataFrame, blockCol: String, n: Int): DataFrame = {
+    val d = prepared(docs, blockCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = d.select(F.col("blk"), F.col("doc_id"), F.explode(F.col("g")).as("t"))
+    val shared = postings.as("x").join(postings.as("y"), Seq("blk", "t"))
+      .where(F.col("x.doc_id") < F.col("y.doc_id"))
+      .groupBy(F.col("x.doc_id").as("doc_a"), F.col("y.doc_id").as("doc_b"))
+      .agg(F.count(F.lit(1)).as("inter_size"))
+    val sizes = d.select("blk", "doc_id", "ng")
+    val allPairs = sizes.as("x").join(sizes.as("y"),
+      F.col("x.blk") === F.col("y.blk") && F.col("x.doc_id") < F.col("y.doc_id"))
+      .select(F.col("x.doc_id").as("doc_a"), F.col("y.doc_id").as("doc_b"),
+        F.col("x.ng").as("na"), F.col("y.ng").as("nb"))
+    allPairs.join(shared, Seq("doc_a", "doc_b"), "left")
+      .withColumn("inter_size", F.coalesce(F.col("inter_size"), F.lit(0L)))
+      .select(F.col("doc_a"), F.col("doc_b"), F.col("inter_size"),
+        (F.col("na") + F.col("nb") - F.col("inter_size")).as("union_size"))
+  }
+}
