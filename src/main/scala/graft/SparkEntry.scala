@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{functions => F}
 
-import graft.analysis.{Multimodal, Similarity, TextAnalysis}
+import graft.analysis.{Multimodal, NgramJaccard, Similarity, TextAnalysis}
 import graft.dedup.{ConnectedComponents, DedupConfig, DedupPipeline, Lsh, SimHashJoin}
 import graft.functions._
 import graft.io.SyntheticCorpus
@@ -54,16 +54,6 @@ object SparkEntry {
       |UNION ALL
       |SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
-  /** Word trigram distinct set (Spark side; oracle mirrors it in DuckDB). */
-  private def trigrams(text: Column): Column = {
-    val ws = TextAnalysis.tokens(text)
-    F.when(F.size(ws) >= 3,
-      F.array_distinct(F.transform(F.sequence(F.lit(0), F.size(ws) - 3),
-        i => F.concat_ws(" ",
-          F.element_at(ws, i + 1), F.element_at(ws, i + 2), F.element_at(ws, i + 3)))))
-      .otherwise(F.array().cast("array<string>"))
-  }
-
   // ------------------------------------------------------------------ entry
 
   /** Flagship: full near-dup pipeline (signatures → LSH → verify →
@@ -85,8 +75,11 @@ object SparkEntry {
         .where(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-12-31")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          F.sum(F.col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
-          F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).as("sum_price"),
+          // money as bigint cents: the DECIMAL(12,2) snap is exact, ×100 →
+          // integer — representation-proof across Spark/DuckDB (decimal
+          // sums widen to different precisions and hash-mismatch)
+          F.sum((F.col("l_quantity").cast("decimal(12,2)") * 100).cast("long")).as("sum_qty_cents"),
+          F.sum((F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long")).as("sum_price_cents"),
           F.count(F.lit(1)).as("n_rows"))
     }),
 
@@ -98,7 +91,7 @@ object SparkEntry {
           F.col("c.c_nationkey") === F.col("n.n_nationkey"))
         .groupBy(F.col("n.n_name").as("nation"))
         .agg(F.count(F.lit(1)).as("n_orders"),
-          F.sum(F.col("o.o_totalprice").cast("decimal(12,2)")).as("revenue"))
+          F.sum((F.col("o.o_totalprice").cast("decimal(12,2)") * 100).cast("long")).as("revenue_cents"))
     }),
 
     "q_anti_join" -> ((s, dir) => {
@@ -136,7 +129,7 @@ object SparkEntry {
       t(s, dir, "events")
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).as("n_events"),
-          F.sum(F.col("value").cast("decimal(12,2)")).as("sum_value"),
+          F.sum((F.col("value").cast("decimal(12,2)") * 100).cast("long")).as("sum_value_cents"),
           F.countDistinct(F.col("user_id")).as("n_users"))),
 
     // --- deduplication family -------------------------------------------
@@ -185,19 +178,12 @@ object SparkEntry {
         .select(F.col("id_a").as("doc_a"), F.col("id_b").as("doc_b"), F.col("hamming"))
     }),
 
-    "q_ngram_jaccard_pairs" -> ((s, dir) => {
+    "q_ngram_jaccard_pairs" -> ((s, dir) =>
       // exact n-gram Jaccard pair scoring, blocked by source (all-ints
-      // output so the comparison is exact)
-      val d = docs(s, dir)
-        .select(F.col("doc_id"), F.col("source"), trigrams(F.col("text")).as("tri"))
-      d.as("x").join(d.as("y"),
-        F.col("x.source") === F.col("y.source") && F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-          F.col("x.doc_id").as("doc_a"), F.col("y.doc_id").as("doc_b"),
-          F.size(F.array_intersect(F.col("x.tri"), F.col("y.tri"))).cast("long").as("inter_size"),
-          (F.size(F.col("x.tri")) + F.size(F.col("y.tri"))
-            - F.size(F.array_intersect(F.col("x.tri"), F.col("y.tri")))).cast("long").as("union_size"))
-    }),
+      // output so the comparison is exact). Inverted-index form: postings
+      // aggregation touches each n-gram occurrence once — the 10^12-doc
+      // shape; the per-pair array_intersect form is O(pairs × doc_len).
+      NgramJaccard.indexed(docs(s, dir), "source", 3)),
 
     "q_embedding_dedup" -> ((s, dir) =>
       // embedding-cosine near-dup pairs; base corpus max cross-cosine is
@@ -298,8 +284,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |       sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-        |       sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price,
+        |       sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sum_qty_cents,
+        |       sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sum_price_cents,
         |       count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-31'
@@ -307,7 +293,7 @@ object SparkEntry {
 
     "q_join_agg" ->
       """SELECT n.n_name AS nation, count(*) AS n_orders,
-        |       sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS revenue
+        |       sum(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS revenue_cents
         |FROM orders o
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -336,7 +322,7 @@ object SparkEntry {
 
     "q_events_agg" ->
       """SELECT event_type, count(*) AS n_events,
-        |       sum(CAST(value AS DECIMAL(12,2))) AS sum_value,
+        |       sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sum_value_cents,
         |       count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
 
