@@ -49,6 +49,14 @@ object SparkEntry {
         .select((F.col("vec_id") + 1000000L).as("vec_id"), F.col("embedding")))
   }
 
+  /** q_ann_lsh_top1 bucket config — mirrored exactly in its oracle SQL. */
+  private val annPlanes = 6
+  private val annMaxBucket = 10000
+
+  /** q_winnow_fingerprints gram/window sizes — mirrored in its oracle SQL. */
+  private val winnowW = 24
+  private val winnowWin = 16
+
   private val dupSqlDocs =
     """SELECT doc_id, text FROM documents
       |UNION ALL
@@ -169,13 +177,29 @@ object SparkEntry {
 
     "q_simhash_dup_pairs" -> ((s, dir) => {
       // SimHash near-dup pairs via the pigeonhole multi-index join
-      // (hamming ≤ 3). Approximate-by-nature → no SQL oracle (rows-only
-      // check here); exactness properties are asserted in DedupPipelineSpec
-      // and SimHashJoinSpec on the planted corpus.
-      val all = docsWithCopies(s, dir)
-        .select(F.col("doc_id"), simhash(shingles(F.col("text"), 3)).as("sim"))
-      SimHashJoin.nearPairs(all, maxHamming = 3)
-        .select(F.col("id_a").as("doc_a"), F.col("id_b").as("doc_b"), F.col("hamming"))
+      // (hamming ≤ 3) — which is EXACT (any pair within the budget shares
+      // one of maxHamming+1 chunks verbatim). The signature here is a
+      // 60-bit SimHash over word trigrams whose per-gram hash is
+      // md5-derived, making the whole query replayable in DuckDB
+      // (('0x'||substr(md5,1,15))::BIGINT) — the production signature is
+      // the SimHash64 Catalyst expression (spec-tested in
+      // SignatureExpressionsSpec / SimHashJoinSpec).
+      val grams = docsWithCopies(s, dir)
+        .select(F.col("doc_id"),
+          F.explode(NgramJaccard.ngrams(F.col("text"), 3)).as("gram"))
+        .select(F.col("doc_id"),
+          F.conv(F.substring(F.md5(F.encode(F.col("gram"), "UTF-8")), 1, 15), 16, 10)
+            .cast("long").as("hv"))
+      val voteCols = (0 until 60).map(b =>
+        F.sum(F.when(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"v$b"))
+      val votes = grams.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      val sigs = votes.select(F.col("doc_id"),
+        (0 until 60).map(b => F.when(F.col(s"v$b") > 0, F.lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("sim"))
+      SimHashJoin.nearPairs(sigs, maxHamming = 3)
+        .select(F.col("id_a").as("doc_a"), F.col("id_b").as("doc_b"),
+          F.col("hamming").cast("long").as("hamming"))
     }),
 
     "q_ngram_jaccard_pairs" -> ((s, dir) =>
@@ -186,19 +210,29 @@ object SparkEntry {
       NgramJaccard.indexed(docs(s, dir), "source", 3)),
 
     "q_embedding_dedup" -> ((s, dir) =>
-      // embedding-cosine near-dup pairs; base corpus max cross-cosine is
-      // ~0.51, planted copies are ~1.0 → 0.999 threshold is unambiguous
-      Similarity.nearDupPairs(vecsWithCopies(s, dir), 0.999)),
+      // embedding-cosine near-dup pairs, RHP-bucketed candidates + exact
+      // cosine verify (the scale path — no driver collect). The exact
+      // oracle below is sound because (a) the verify is exact and (b) the
+      // only pairs ≥ 0.999 are planted identical copies (base corpus max
+      // cross-cosine ~0.51), and identical vectors share every bucket.
+      Similarity.nearDupPairsBucketed(vecsWithCopies(s, dir), 0.999,
+        numPlanes = 6, probes = 2)),
 
     // --- similarity search ----------------------------------------------
     "q_embedding_top1" -> ((s, dir) =>
-      Similarity.bruteForceTopK(embeddings(s, dir), 1)
+      // exact cosine top-1, blocked both sides (distributed exact layout;
+      // the collect+broadcast bruteForceTopK is the spec oracle only)
+      Similarity.blockedTopK(embeddings(s, dir), 1)
         .select("vec_id", "nn_id")),
 
     "q_ann_lsh_top1" -> ((s, dir) =>
-      // scale path: random-hyperplane bucketed ANN (approximate — no SQL
-      // oracle; recall vs brute force is asserted in AnalysisSpec)
-      Similarity.lshTopK(embeddings(s, dir), 1, numPlanes = 6)
+      // RHP-bucketed ANN. Bucket ids are pure integer arithmetic (Lehmer
+      // LCG signs × micro-unit-quantized components), so the oracle below
+      // replays the exact same buckets in DuckDB and takes the exact
+      // within-bucket top-1 — a full hash-checkable oracle for the
+      // approximate operator.
+      Similarity.lshTopK(embeddings(s, dir), 1,
+        numPlanes = annPlanes, probes = 1, maxBucket = annMaxBucket)
         .select("vec_id", "nn_id")),
 
     // --- clustering kernel ----------------------------------------------
@@ -266,10 +300,36 @@ object SparkEntry {
     }),
 
     "q_winnow_fingerprints" -> ((s, dir) =>
-      // rolling-hash document fingerprinting (winnowing); no SQL oracle —
-      // the guarantee is property-tested in SignatureExpressionsSpec
-      docs(s, dir).select(F.col("doc_id"),
-        F.size(winnowedFingerprints(F.col("text"), 48, 48)).cast("long").as("n_fp")))
+      // winnowed document fingerprints (Schleimer et al. SIGMOD'03
+      // min-sampling: keep the min hash of every window of `win`
+      // consecutive w-gram hashes). This query derives the gram hash from
+      // md5 so DuckDB replays it exactly; the production expression is
+      // the rolling-hash WinnowedFingerprints (64-bit polynomial — not
+      // expressible in overflow-checked SQL), property-tested in
+      // SignatureExpressionsSpec and recall-tested in the pipeline.
+      // Shape: explode gram positions (each w-gram md5-hashed exactly
+      // once), then the win-window minimum as a windowed min over
+      // position order — one shuffle on doc_id, no nested-lambda
+      // recomputation (a single nested expr re-hashes all grams per
+      // window: observed 10× wall). A window at position i covers rows
+      // i..i+win-1; when a doc has fewer than win grams only i=1 is kept
+      // and its window spans all grams (the single-min degenerate case).
+      {
+        val w = Window.partitionBy("doc_id").orderBy("i")
+          .rowsBetween(Window.currentRow, winnowWin - 1)
+        docs(s, dir)
+          .select(F.col("doc_id"), F.col("text"),
+            (F.length(F.col("text")) - winnowW + 1).as("ng"))
+          .where(F.col("ng") >= 1)
+          .select(F.col("doc_id"), F.col("text"), F.col("ng"),
+            F.explode(F.sequence(F.lit(1), F.col("ng"))).as("i"))
+          .select(F.col("doc_id"), F.col("ng"), F.col("i"),
+            F.expr(s"cast(conv(substring(md5(encode(substring(text, cast(i as int), $winnowW), 'utf-8')), 1, 15), 16, 10) as bigint)").as("hv"))
+          .withColumn("wmin", F.min("hv").over(w))
+          .where(F.col("i") <= F.greatest(F.col("ng") - winnowWin + 1, F.lit(1)))
+          .select(F.col("doc_id"), F.col("wmin").as("fp"))
+          .distinct()
+      })
   )
 
   // -------------------------------------------------------------- oracleSql
@@ -373,6 +433,93 @@ object SparkEntry {
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.999""".stripMargin,
+
+    "q_simhash_dup_pairs" -> {
+      // DuckDB replay of the md5-derived 60-bit trigram SimHash + exact
+      // brute-force hamming ≤ 3 scoring (the Spark side's pigeonhole join
+      // is exact, so the result sets must be identical).
+      val sums = (0 until 60)
+        .map(b => s"sum(CASE WHEN ((hv >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(",\n|                  ")
+      val pack = (0 until 60)
+        .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH all_docs AS ($dupSqlDocs),
+         |w AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform(range(1, len(ws)-1),
+         |              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) ELSE []::VARCHAR[] END AS tri
+         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+         |        FROM all_docs)
+         |),
+         |g AS (SELECT doc_id, unnest(tri) AS gram FROM w),
+         |h AS (SELECT doc_id, ('0x' || substring(md5(gram), 1, 15))::BIGINT AS hv FROM g),
+         |v AS (SELECT doc_id, $sums
+         |      FROM h GROUP BY doc_id),
+         |s AS (SELECT doc_id, $pack AS sim FROM v)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin
+    },
+
+    "q_winnow_fingerprints" ->
+      s"""WITH gs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) >= $winnowW THEN
+         |      list_transform(range(1, length(text) - $winnowW + 2),
+         |        i -> ('0x' || substring(md5(substring(text, CAST(i AS INT), $winnowW)), 1, 15))::BIGINT)
+         |    ELSE []::BIGINT[] END AS g
+         |  FROM documents),
+         |fps AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(g) = 0 THEN []::BIGINT[]
+         |         WHEN len(g) >= $winnowWin THEN list_distinct(
+         |           list_transform(range(1, len(g) - $winnowWin + 2),
+         |             t -> list_min(list_slice(g, t, t + $winnowWin - 1))))
+         |         ELSE [list_min(g)] END AS f
+         |  FROM gs)
+         |SELECT doc_id, unnest(f) AS fp FROM fps""".stripMargin,
+
+    "q_ann_lsh_top1" -> {
+      // DuckDB replay of Similarity.rhpBucket: quantize components to
+      // micro-units with floor(x*1e6 + 0.5) (bit-identical IEEE expression
+      // in both engines), signs from the Lehmer LCG parity, bucket = packed
+      // projection sign bits; then 2..maxBucket bucket filter and the exact
+      // within-bucket cosine top-1 (ties by nn_id).
+      def proj(p: Int): String = {
+        // two multiply+xorshift rounds in 31-bit lanes (overflow-safe in
+        // DuckDB's checked BIGINT): mirrors Similarity.hashSign bit-for-bit
+        val h0 = s"((${p * 8191 + 1} + i*127) & 2147483647)"
+        val h1 = s"(($h0 * 73244475) & 2147483647)"
+        val h2 = s"xor($h1, ($h1 >> 16))"
+        val h3 = s"(($h2 * 73244475) & 2147483647)"
+        val h4 = s"xor($h3, ($h3 >> 16))"
+        s"list_sum(list_transform(range(len(qv)), i -> qv[i+1] * " +
+          s"(CASE WHEN ($h4 & 1) = 0 THEN 1 ELSE -1 END)))"
+      }
+      val bucket = (0 until annPlanes)
+        .map(p => s"(CASE WHEN ${proj(p)} >= 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |         list_transform(embedding::DOUBLE[],
+         |                        x -> CAST(floor(x*1000000 + 0.5) AS BIGINT)) AS qv
+         |  FROM embeddings
+         |  WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0
+         |),
+         |b AS (SELECT vec_id, emb, $bucket AS bucket FROM e),
+         |ok AS (SELECT bucket FROM b GROUP BY bucket
+         |       HAVING count(*) BETWEEN 2 AND $annMaxBucket),
+         |m AS (SELECT b.* FROM b JOIN ok USING (bucket)),
+         |s AS (SELECT a.vec_id, c.vec_id AS nn_id,
+         |             list_cosine_similarity(a.emb, c.emb) AS cos
+         |      FROM m a JOIN m c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+         |r AS (SELECT vec_id, nn_id,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) AS rk
+         |      FROM s)
+         |SELECT vec_id, nn_id FROM r WHERE rk = 1""".stripMargin
+    },
 
     "q_embedding_top1" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

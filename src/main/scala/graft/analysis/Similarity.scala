@@ -3,13 +3,28 @@ package graft.analysis
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{functions => F}
-import graft.functions.HashUtil
 
-/** Embedding similarity search: exact brute-force cosine top-k (the
-  * correctness baseline) and a random-hyperplane-LSH bucketed variant
-  * (the scale path). Embeddings are `array<float>` columns; all math is
-  * done in double via built-in higher-order functions (`zip_with` +
-  * `aggregate`), staying inside codegen — no UDFs.
+/** Embedding similarity search over `array<float>` columns, three layouts:
+  *
+  *  - [[bruteForceTopK]] / [[nearDupPairs]]: collect+broadcast exact scan —
+  *    the SPEC ORACLE only (driver-side collect caps it at what one
+  *    executor holds); production queries must not route through these.
+  *  - [[blockedTopK]]: exact top-k with both sides blocked — the
+  *    distributed exact layout. No collect, no full broadcast; shuffle
+  *    volume O(numBlocks · n) and per-task memory O(n / numBlocks).
+  *  - [[lshTopK]] / [[nearDupPairsBucketed]]: random-hyperplane bucketed —
+  *    the 10^12-row path. Buckets come from INTEGER arithmetic (Lehmer LCG
+  *    signs × quantized components), so a bucket id is bit-identically
+  *    replayable in any SQL engine — that is what makes the ANN queries
+  *    oracle-checkable in DuckDB. Hot buckets are counted and dropped
+  *    BEFORE any member list or join materializes (same count-filter-join
+  *    discipline as graft.dedup.Lsh), so a degenerate embedding cluster
+  *    (boilerplate pages, near-zero vectors) costs a counter, not a
+  *    quadratic task. Multi-probe = union over `probes` independent plane
+  *    sets, lifting recall at linear cost.
+  *
+  * All scoring math uses built-in higher-order functions or tight
+  * primitive loops inside mapPartitions — no UDF objects in the hot path.
   */
 object Similarity {
 
@@ -35,14 +50,10 @@ object Similarity {
     * Output: vec_id, rank (1..k), nn_id. Ties broken by cos desc, nn_id
     * ascending — fully deterministic.
     *
-    * Physical strategy: the candidate side is broadcast as one dense
-    * primitive matrix and each partition of the query side scans it with
-    * tight double loops inside `mapPartitions` — the standard
-    * block-broadcast exact-kNN layout (no shuffle at all; the per-pair
-    * Catalyst `zip_with` form allocates an array per comparison and runs
-    * ~20× slower). Scale envelope: candidate side must fit an executor
-    * (~n·dim·8 bytes); beyond that, block the candidate side and merge
-    * per-block top-k (same code per block), or switch to [[lshTopK]]. */
+    * SPEC ORACLE ONLY: the candidate side is collected to the driver and
+    * broadcast as one dense primitive matrix (envelope: n·dim·8 bytes on
+    * one host). The production exact layout is [[blockedTopK]]; the
+    * production approximate layout is [[lshTopK]]. */
   def bruteForceTopK(embeddings: DataFrame, k: Int): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -62,78 +73,196 @@ object Similarity {
       val cids = bcIds.value; val cmat = bcMat.value
       val n = cids.length
       it.flatMap { case (qid, q) =>
-        // running top-k (selection by insertion — k is small)
-        val topCos = Array.fill(k)(Double.NegativeInfinity)
-        val topId = new Array[Long](k)
-        var j = 0
-        while (j < n) {
-          if (cids(j) != qid) {
-            val row = cmat(j)
-            var d = 0.0
-            var t = 0
-            while (t < row.length) { d += q(t) * row(t); t += 1 }
-            // insert if better than the current k-th (tie: smaller id wins)
-            if (d > topCos(k - 1) ||
-              (d == topCos(k - 1) && cids(j) < topId(k - 1))) {
-              var pos = k - 1
-              while (pos > 0 && (d > topCos(pos - 1) ||
-                (d == topCos(pos - 1) && cids(j) < topId(pos - 1)))) {
-                topCos(pos) = topCos(pos - 1); topId(pos) = topId(pos - 1); pos -= 1
-              }
-              topCos(pos) = d; topId(pos) = cids(j)
-            }
-          }
-          j += 1
-        }
-        (0 until math.min(k, n - 1)).iterator.map(r => (qid, (r + 1).toLong, topId(r)))
+        val (topCos, topId, found) = topKScan(q, qid, cids, cmat, k)
+        (0 until found).iterator.map(r => (qid, (r + 1).toLong, topId(r)))
       }
     }.toDF("vec_id", "rank", "nn_id")
   }
 
-  /** Signed projection onto pseudo-random hyperplane `p` (Rademacher ±1
-    * entries derived from mix64(seed, p, dim) — data-independent and
-    * reproducible anywhere). */
-  private def hyperplaneBit(emb: Column, p: Int, seed: Long): Column = {
-    // sum_i emb[i] * sign_i  with  sign_i = ±1 from a hash of (seed, p, i)
-    val signed = F.zip_with(
-      emb,
-      F.transform(F.sequence(F.lit(0), F.size(emb) - 1),
-        i => F.when(
-          F.pmod(F.xxhash64(F.lit(seed), F.lit(p), i), F.lit(2)) === 0, 1.0).otherwise(-1.0)),
-      _ * _)
-    F.when(F.aggregate(signed, F.lit(0.0), _ + _) >= 0, F.lit(1L)).otherwise(F.lit(0L))
+  /** Running top-k selection scan of `q` against a candidate block
+    * (insertion into a length-k ladder; ties broken by smaller id).
+    * Returns (cos ladder, id ladder, slots filled). */
+  private def topKScan(q: Array[Double], qid: Long,
+                       cids: Array[Long], cmat: Array[Array[Double]],
+                       k: Int): (Array[Double], Array[Long], Int) = {
+    val topCos = Array.fill(k)(Double.NegativeInfinity)
+    val topId = new Array[Long](k)
+    var found = 0
+    var j = 0
+    val n = cids.length
+    while (j < n) {
+      if (cids(j) != qid) {
+        val row = cmat(j)
+        var d = 0.0
+        var t = 0
+        while (t < row.length) { d += q(t) * row(t); t += 1 }
+        if (d > topCos(k - 1) ||
+          (d == topCos(k - 1) && (found < k || cids(j) < topId(k - 1)))) {
+          var pos = math.min(found, k - 1)
+          while (pos > 0 && (d > topCos(pos - 1) ||
+            (d == topCos(pos - 1) && cids(j) < topId(pos - 1)))) {
+            topCos(pos) = topCos(pos - 1); topId(pos) = topId(pos - 1); pos -= 1
+          }
+          topCos(pos) = d; topId(pos) = cids(j)
+          if (found < k) found += 1
+        }
+      }
+      j += 1
+    }
+    (topCos, topId, found)
   }
 
-  /** Random-hyperplane LSH bucket id (numPlanes sign bits packed). */
-  def rhpBucket(emb: Column, numPlanes: Int, seed: Long = HashUtil.DefaultSeed): Column =
-    (0 until numPlanes).map(p => hyperplaneBit(emb, p, seed) * (1L << p))
-      .reduce(_ + _)
+  /** Exact distributed top-k: both sides split into `numBlocks` hash
+    * blocks; every (query block × candidate block) cell is one task
+    * scanning two primitive arrays; per-query candidates (k per cell) are
+    * merged by a window. Identical output to [[bruteForceTopK]] (same
+    * dot-product fold order, same tie rule), but no driver collect and no
+    * whole-set broadcast: shuffle volume O(numBlocks · n · dim), per-task
+    * memory O(n / numBlocks · dim) — pick numBlocks so a block fits a
+    * task, and the layout holds at any corpus size. */
+  def blockedTopK(embeddings: DataFrame, k: Int, numBlocks: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val unit = prepared(embeddings)
+      .select(F.col("vec_id"),
+        F.transform(F.col("emb"), x => x / F.col("nrm")).as("unit"))
+      .withColumn("blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(numBlocks)))
+    val blocks = unit.groupBy("blk")
+      .agg(F.collect_list(F.struct(F.col("vec_id"), F.col("unit"))).as("rows"))
+    val qSide = blocks.select(F.col("rows").as("qrows"))
+    val cSide = blocks.select(F.col("rows").as("crows"))
+    val cells = qSide.crossJoin(cSide)
+      .as[(Seq[(Long, Array[Double])], Seq[(Long, Array[Double])])]
+    val partial = cells.flatMap { case (qs, cs) =>
+      val cids = new Array[Long](cs.size)
+      val cmat = new Array[Array[Double]](cs.size)
+      var i = 0
+      cs.foreach { c => cids(i) = c._1; cmat(i) = c._2; i += 1 }
+      qs.iterator.flatMap { case (qid, q) =>
+        val (topCos, topId, found) = topKScan(q, qid, cids, cmat, k)
+        (0 until found).iterator.map(r => (qid, topId(r), topCos(r)))
+      }
+    }.toDF("vec_id", "nn_id", "cos")
+    val w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc, F.col("nn_id"))
+    partial.withColumn("rank", F.row_number().over(w))
+      .where(F.col("rank") <= k)
+      .select(F.col("vec_id"), F.col("rank").cast("long").as("rank"), F.col("nn_id"))
+  }
 
-  /** Approximate top-k: candidates restricted to the same RHP bucket —
-    * the 10^12-scale pattern (bucket sizes ~ n / 2^planes; the pair join
-    * shuffles on bucket id). Same output columns as bruteForceTopK; probes
-    * only one bucket, so recall < 1 by design (multi-probe = union over
-    * seed variants). */
+  // ------------------------------------------------- integer RHP bucketing
+
+  /** 31-bit lanes keep every product under 2^58, so the identical
+    * arithmetic runs overflow-free in engines that check overflow
+    * (DuckDB) — the property that makes ANN buckets oracle-replayable. */
+  private val Mask31 = 0x7FFFFFFFL
+  private val HashMul = 0x45d9f3bL
+
+  /** ±1 hyperplane sign for (probe rep, plane p, component i): two rounds
+    * of multiply-then-xorshift over a small affine seed, then parity.
+    * Multiplication alone is linear (mod-M LCG steps leave planes
+    * correlated — observed: 500 vectors collapsing into 4 of 64 buckets);
+    * the xor-shift between multiplies breaks linearity. Data-independent,
+    * pure 31-bit integer ops — reproducible verbatim in SQL with
+    * `&`, `>>`, `xor` (see SparkEntry's q_ann_lsh_top1 oracle). */
+  private def hashSign(rep: Int, p: Int, i: Column): Column = {
+    val mask = F.lit(Mask31)
+    def round(h: Column): Column = {
+      val m = (h * HashMul).bitwiseAND(mask)
+      m.bitwiseXOR(F.shiftright(m, 16))
+    }
+    val h0 = (F.lit(rep.toLong * 1000003L + p.toLong * 8191L + 1L) + i * 127L)
+      .bitwiseAND(mask)
+    val h = round(round(h0))
+    F.when(h.bitwiseAND(F.lit(1L)) === 0L, 1L).otherwise(-1L)
+  }
+
+  /** Components quantized to integer micro-units: floor(x·10^6 + 0.5) is
+    * the same IEEE expression in every engine, so the quantized vector —
+    * and everything derived from it — is bit-identical cross-engine. */
+  private def quantized(emb: Column): Column =
+    F.transform(emb, x => F.floor(x * 1000000.0d + 0.5d))
+
+  /** Random-hyperplane LSH bucket id (`numPlanes` sign bits packed), all
+    * integer arithmetic: bit_p = sign of Σ_i quant(emb[i]) · hashSign(p,i).
+    * `rep` selects an independent plane set for multi-probe. */
+  def rhpBucket(emb: Column, numPlanes: Int, rep: Int = 0): Column = {
+    val qv = quantized(emb)
+    (0 until numPlanes).map { p =>
+      val proj = F.aggregate(
+        F.zip_with(qv,
+          F.transform(F.sequence(F.lit(0), F.size(emb) - 1), i => hashSign(rep, p, i)),
+          _ * _),
+        F.lit(0L), _ + _)
+      F.when(proj >= 0, F.lit(1L << p)).otherwise(F.lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** (rep, bucket, vec_id, emb, nrm) for probe reps 0..probes-1, hot
+    * buckets dropped: sizes are aggregated first (partial-agg counts — a
+    * degenerate bucket costs a counter per task) and only buckets with
+    * 2..maxBucket members are joined back. No bucket's member set ever
+    * co-locates before this filter. */
+  private def eligibleMembers(e: DataFrame, numPlanes: Int, probes: Int,
+                              maxBucket: Int): DataFrame = {
+    val bucketed = (0 until probes)
+      .map(r => e.withColumn("rep", F.lit(r))
+        .withColumn("bucket", rhpBucket(F.col("emb"), numPlanes, r)))
+      .reduce(_ unionByName _)
+    val eligible = bucketed.groupBy("rep", "bucket").count()
+      .where(F.col("count").between(2, maxBucket))
+      .select("rep", "bucket")
+    bucketed.join(eligible.hint("shuffle_hash"), Seq("rep", "bucket"))
+  }
+
+  /** Approximate top-k: candidates restricted to the same RHP bucket in
+    * any of `probes` plane sets — the 10^12-row pattern (bucket sizes
+    * ~ n/2^planes; the candidate join shuffles on (rep, bucket)).
+    * Same output columns and tie rule as [[bruteForceTopK]]; recall < 1 by
+    * design, raised by `probes`. Integer bucket ids keep the whole
+    * candidate-set definition SQL-replayable (the q_ann_lsh_top1 oracle). */
   def lshTopK(embeddings: DataFrame, k: Int, numPlanes: Int = 8,
-              seed: Long = HashUtil.DefaultSeed): DataFrame = {
-    val e = prepared(embeddings)
-      .withColumn("bucket", rhpBucket(F.col("emb"), numPlanes, seed))
-    val a = e.select(F.col("bucket"), F.col("vec_id"), F.col("emb").as("ea"), F.col("nrm").as("na"))
-    val b = e.select(F.col("bucket"), F.col("vec_id").as("nn_id"), F.col("emb").as("eb"), F.col("nrm").as("nb"))
-    val scored = a.join(b, Seq("bucket"))
+              probes: Int = 1, maxBucket: Int = 10000): DataFrame = {
+    val members = eligibleMembers(prepared(embeddings), numPlanes, probes, maxBucket)
+    val a = members.select(F.col("rep"), F.col("bucket"), F.col("vec_id"),
+      F.col("emb").as("ea"), F.col("nrm").as("na"))
+    val b = members.select(F.col("rep"), F.col("bucket"), F.col("vec_id").as("nn_id"),
+      F.col("emb").as("eb"), F.col("nrm").as("nb"))
+    val scored = a.join(b, Seq("rep", "bucket"))
       .where(F.col("vec_id") =!= F.col("nn_id"))
-      .withColumn("cos", cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")))
+      .select(F.col("vec_id"), F.col("nn_id"),
+        cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).as("cos"))
+      .distinct() // same candidate through several probes scores identically
     val w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc, F.col("nn_id"))
     scored.withColumn("rank", F.row_number().over(w))
       .where(F.col("rank") <= k)
       .select(F.col("vec_id"), F.col("rank").cast("long").as("rank"), F.col("nn_id"))
   }
 
+  /** Near-duplicate vector pairs, RHP-bucketed — the production dedup
+    * path: candidates from shared buckets (any probe), exact cosine verify
+    * ≥ threshold. Emitted pairs carry NO approximation (the verify is
+    * exact); bucketing only bounds which pairs are examined. Identical
+    * vectors agree on every plane projection, so exact duplicates are
+    * always candidates — recall loss applies only to near-(not exact-)
+    * duplicates, shrinking exponentially in `probes`. */
+  def nearDupPairsBucketed(embeddings: DataFrame, threshold: Double,
+                           numPlanes: Int = 8, probes: Int = 2,
+                           maxBucket: Int = 10000): DataFrame = {
+    val members = eligibleMembers(prepared(embeddings), numPlanes, probes, maxBucket)
+    val a = members.select(F.col("rep"), F.col("bucket"),
+      F.col("vec_id").as("vec_a"), F.col("emb").as("ea"), F.col("nrm").as("na"))
+    val b = members.select(F.col("rep"), F.col("bucket"),
+      F.col("vec_id").as("vec_b"), F.col("emb").as("eb"), F.col("nrm").as("nb"))
+    a.join(b, Seq("rep", "bucket"))
+      .where(F.col("vec_a") < F.col("vec_b"))
+      .where(cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")) >= threshold)
+      .select("vec_a", "vec_b")
+      .distinct()
+  }
+
   /** Near-duplicate vector pairs: cosine ≥ threshold, vec_a < vec_b.
-    * Same block-broadcast layout as [[bruteForceTopK]] (each partition
-    * scans the broadcast unit-vector matrix; only j > i compared); at
-    * corpus sizes past the broadcast envelope, block the candidate side
-    * or route through rhpBucket blocking first. */
+    * SPEC ORACLE ONLY — same collect+broadcast layout as
+    * [[bruteForceTopK]]; production queries use [[nearDupPairsBucketed]]. */
   def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._

@@ -19,28 +19,65 @@ class AnalysisSpec extends SparkSpec {
     assert(a === b)
   }
 
-  test("LSH ANN: same-bucket recall@1 is substantial and all results are real vectors") {
-    val exact = Similarity.bruteForceTopK(emb, 1)
-      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
-    val approx = Similarity.lshTopK(emb, 1, numPlanes = 2)
-      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
-    val hits = approx.count { case (id, nn) => exact.get(id).contains(nn) }
-    val recall = hits.toDouble / exact.size
-    // one probe of a 4-bucket partition; for random near-orthogonal data
-    // P(NN shares bucket) ≈ (1-θ/π)^planes ≈ 0.66² ≈ 0.44 — well above
-    // random (1/500), below 1.0 by design (multi-probe raises it)
-    assert(recall > 0.25, s"recall@1=$recall")
-    assert(approx.size <= exact.size)
+  test("blockedTopK: identical output to the brute-force oracle, any blocking") {
+    val exact = Similarity.bruteForceTopK(emb, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    for (blocks <- Seq(1, 5, 16)) {
+      val blocked = Similarity.blockedTopK(emb, 3, numBlocks = blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(blocked === exact, s"numBlocks=$blocks diverged from oracle")
+    }
   }
 
-  test("embedding near-dup pairs: planted copies found, nothing else") {
+  test("LSH ANN: same-bucket recall@1 substantial; multi-probe lifts it") {
+    val exact = Similarity.bruteForceTopK(emb, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def recallAt(probes: Int): Double = {
+      val approx = Similarity.lshTopK(emb, 1, numPlanes = 2, probes = probes)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(approx.size <= exact.size)
+      approx.count { case (id, nn) => exact.get(id).contains(nn) }.toDouble / exact.size
+    }
+    val r1 = recallAt(1)
+    val r4 = recallAt(4)
+    // one probe of a 4-bucket partition: P(NN shares bucket) ≈
+    // (1-θ/π)^planes ≈ 0.44 for near-orthogonal data; 4 independent plane
+    // sets push the miss rate toward (1-0.44)^4 ≈ 0.1
+    assert(r1 > 0.25, s"recall@1 single-probe=$r1")
+    assert(r4 > r1, s"multi-probe did not lift recall: $r4 <= $r1")
+    assert(r4 > 0.6, s"recall@1 4-probe=$r4")
+  }
+
+  test("LSH ANN: degenerate hot bucket is dropped by the cap, job completes") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 300 identical vectors — one mega-bucket in every probe — plus the
+    // real corpus; a cap below 300 must drop them without quadratic work
+    val degen = spark.range(2000000L, 2000300L)
+      .select(F.col("id").as("vec_id"),
+        F.typedLit(Array.fill(64)(0.5f)).as("embedding"))
+    val mixed = emb.select("vec_id", "embedding").unionByName(degen)
+    val out = Similarity.lshTopK(mixed, 1, numPlanes = 6, probes = 2, maxBucket = 100)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out.intersect((2000000L until 2000300L).toSet).isEmpty,
+      "capped bucket members leaked into results")
+    assert(out.nonEmpty, "cap wiped out the regular corpus too")
+  }
+
+  test("embedding near-dup pairs: planted copies found, nothing else (oracle + bucketed)") {
     val withCopies = emb.select("vec_id", "embedding").unionByName(
       emb.where(F.col("vec_id") % 10 === 0)
         .select((F.col("vec_id") + 1000000L).as("vec_id"), F.col("embedding")))
+    val expected = (0L until 500L by 10L).map(i => (i, i + 1000000L)).toSet
     val pairs = Similarity.nearDupPairs(withCopies, 0.999)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val expected = (0L until 500L by 10L).map(i => (i, i + 1000000L)).toSet
     assert(pairs === expected)
+    // scale path: identical vectors share every bucket, exact verify —
+    // must find exactly the same pairs with no driver collect
+    val bucketed = Similarity.nearDupPairsBucketed(withCopies, 0.999,
+      numPlanes = 6, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed === expected)
   }
 
   test("multimodal: stub decode matches byte arithmetic; binary survives round trip") {
