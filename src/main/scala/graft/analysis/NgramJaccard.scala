@@ -51,8 +51,8 @@ object NgramJaccard {
   /** Inverted-index form: postings → shared-gram counts → join back onto
     * the pair frame (pairs with zero overlap included via left join). */
   def indexed(docs: DataFrame, blockCol: String, n: Int): DataFrame = {
-    val d = prepared(docs, blockCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // consumed twice (postings + sizes); released via graft.Caches
+    val d = graft.Caches.track(prepared(docs, blockCol, n))
     val postings = d.select(F.col("blk"), F.col("doc_id"), F.explode(F.col("g")).as("t"))
     val shared = postings.as("x").join(postings.as("y"), Seq("blk", "t"))
       .where(F.col("x.doc_id") < F.col("y.doc_id"))

@@ -28,7 +28,12 @@ final case class DedupResult(
     clusters: DataFrame,
     nearMisses: DataFrame,
     rejects: DataFrame,
-    metrics: DataFrame)
+    metrics: DataFrame) {
+
+  /** Release every cache the engine pinned in this session (call once all
+    * results are materialized; see graft.Caches for scope). */
+  def cleanup(): Unit = graft.Caches.release(flagged.sparkSession)
+}
 
 /** The flagship pipeline: pages → quality gate → signatures → LSH
   * candidates → verification → (optional) substring pass → connected
@@ -45,15 +50,35 @@ object DedupPipeline {
     * except the no-content branch, which callers should serve from a
     * persisted sigsAll. */
   def signatures(pages: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) = {
-    val base = pages.withColumn("doc_id", F.xxhash64(F.lit(cfg.seed), F.col("url")))
+    val hashed = pages.withColumn("doc_id", F.xxhash64(F.lit(cfg.seed), F.col("url")))
+    // Input contract: url is THE document key (doc_id = hash(url)). With
+    // enforcement on, a 64-bit birthday collision keeps the min-url row
+    // and rejects the rest — narrow (doc_id, url) agg + broadcast of the
+    // (rare) colliding groups, so no wide row ever shuffles for this.
+    val base =
+      if (!cfg.enforceUniqueIds) hashed.withColumn("id_collision", F.lit(false))
+      else {
+        val collided = hashed.select("doc_id", "url")
+          .groupBy("doc_id")
+          .agg(F.count(F.lit(1)).as("n"), F.min("url").as("keep_url"))
+          .where(F.col("n") > 1)
+          .select("doc_id", "keep_url")
+        hashed.join(F.broadcast(collided), Seq("doc_id"), "left")
+          .withColumn("id_collision",
+            F.col("keep_url").isNotNull && F.col("url") =!= F.col("keep_url"))
+          .drop("keep_url")
+      }
     val langOk = cfg.allowedLangs match {
       case Some(ls) => F.col("lang").isin(ls.toSeq: _*)
       case None => F.lit(true)
     }
-    val reason = F.when(F.col("text").isNull, "null_text")
+    val reason = F.when(F.col("id_collision"), "id_collision")
+      .when(F.col("text").isNull, "null_text")
       .when(F.length(F.trim(F.col("text"))) < cfg.minTextChars, "empty_text")
-      .when(!langOk, "lang")
-    val gated = base.withColumn("reject_reason", reason)
+      // NULL lang is a reject when a whitelist is set: isin() is
+      // three-valued (NULL lang → NULL), so compare null-safely to true
+      .when(F.not(langOk <=> F.lit(true)), "lang")
+    val gated = base.withColumn("reject_reason", reason).drop("id_collision")
     val rejects = gated.where(F.col("reject_reason").isNotNull)
     val admitted = gated.where(F.col("reject_reason").isNull).drop("reject_reason")
     val sigsAll = admitted
@@ -62,6 +87,35 @@ object DedupPipeline {
       .withColumn("simhash", simhash(F.col("shingles"), cfg.seed))
       .drop("shingles")
     (sigsAll, rejects)
+  }
+
+  /** Pre-clean for inputs that violate the unique-url contract: one row
+    * per url, keeping the latest crawl (ties broken by html digest —
+    * deterministic). Wide-row shuffle on url; run it once at ingest, not
+    * per pipeline run. */
+  def dedupeByUrl(pages: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("url")
+      .orderBy(F.col("warc_ts").desc, F.md5(F.col("html")))
+    pages.withColumn("_rn", F.row_number().over(w))
+      .where(F.col("_rn") === 1).drop("_rn")
+  }
+
+  /** 8-bucket distance histograms over scored candidate pairs — the
+    * analog of the reference's mismatch-distance report counters
+    * (reference/dupliganger/constants.py:67-88, incremented at
+    * dedup.py:442-458): est-Jaccard bucket = min(floor(est·8), 7),
+    * SimHash-Hamming bucket = min(hamming, 7). */
+  def distanceHistograms(scored: DataFrame): Seq[(String, Long)] = {
+    val aggs =
+      (0 until 8).map(b => F.coalesce(F.sum(F.when(
+        F.least(F.floor(F.col("est_jaccard") * 8), F.lit(7L)) === b, 1L)
+        .otherwise(0L)), F.lit(0L))) ++
+      (0 until 8).map(b => F.coalesce(F.sum(F.when(
+        F.least(F.col("sim_hamming"), F.lit(7)) === b, 1L)
+        .otherwise(0L)), F.lit(0L)))
+    val row = scored.agg(aggs.head, aggs.tail: _*).head()
+    (0 until 8).map(b => s"hist_est_jaccard_$b" -> row.getLong(b)) ++
+      (0 until 8).map(b => s"hist_sim_hamming_$b" -> row.getLong(8 + b))
   }
 
   /** Winner flags per doc: (doc_id, cluster_id, is_canonical,
@@ -112,9 +166,8 @@ object DedupPipeline {
     // row (html binary, timestamps) stays in the source scan and crosses
     // exactly one shuffle — the final flag join at emission.
     val (sigsAllRaw, gateRejects) = signatures(pages, cfg)
-    val sigsAll = sigsAllRaw
-      .select("doc_id", "text", "minhash", "simhash")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigsAll = graft.Caches.track(sigsAllRaw
+      .select("doc_id", "text", "minhash", "simhash"))
     val sigs = sigsAll.where($"minhash".isNotNull)
     val admittedWide = sigsAllRaw.drop("minhash", "simhash")
     val noContent = admittedWide.join(
@@ -126,18 +179,16 @@ object DedupPipeline {
     // Op2 — LSH buckets → candidates → verification (reference Op2:
     // write_to_dup_group_db with the tolerant in-bucket match)
     val (pairs, overflow) = Lsh.candidatePairs(sigCols, cfg)
-    val scored = Lsh.verifyPairs(pairs, sigCols, cfg)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val scored = graft.Caches.track(Lsh.verifyPairs(pairs, sigCols, cfg))
     val verified = scored.where($"verified").select($"a", $"b")
     val nearMisses = scored.where(!$"verified")
 
     // Op2b — exact-substring pass (north_star suffix-array analog)
-    val substr =
-      (if (cfg.substringPass)
+    val substr = graft.Caches.track(
+      if (cfg.substringPass)
         SubstringDedup.substringEdges(sigs.select($"doc_id", $"text"), cfg)
           .select($"a", $"b")
       else spark.emptyDataset[(Long, Long)].toDF("a", "b"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Op2c — group merge = connected components (reference put_dup_groups)
     val edges = verified.union(substr)
@@ -148,8 +199,7 @@ object DedupPipeline {
     val flags = winnerFlags(sigs, assign, cfg)
 
     // Op5 prep — the ONE wide join: flags back onto full admitted rows
-    val flagged = admittedWide.join(flags, "doc_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val flagged = graft.Caches.track(admittedWide.join(flags, "doc_id"))
 
     // Op5 — emission (reference write_output_files_pe: anti/semi routing)
     val deduped = flagged.where($"is_canonical")
@@ -189,7 +239,7 @@ object DedupPipeline {
       "duplicates_removed" -> dupsRemoved,
       "lsh_overflow_buckets" -> o.getLong(0),
       "lsh_overflow_rows" -> o.getLong(1)
-    ).toDF("metric", "value").orderBy("metric")
+    ).++(distanceHistograms(scored)).toDF("metric", "value").orderBy("metric")
 
     DedupResult(flagged, deduped, duplicates, clusters, nearMisses, rejects, metrics)
   }

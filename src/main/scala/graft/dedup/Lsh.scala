@@ -133,7 +133,7 @@ object Lsh {
     * not corpus size — then hash joins (sort-merge would sort a kilobyte
     * of signature per row just to equality-match an id). */
   def verifyPairs(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = graft.Caches.track(pairs) // consumed twice (member ids + join)
     val memberIds = p.select(F.col("a").as("doc_id"))
       .union(p.select(F.col("b").as("doc_id"))).distinct()
     val needed = sigs.join(memberIds, Seq("doc_id"), "left_semi")

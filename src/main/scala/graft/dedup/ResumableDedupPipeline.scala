@@ -10,27 +10,62 @@ import graft.io.StageStore
   * 100k records, dedup.py:594-612; atomic tmp-rename outputs,
   * common.py:601-733), at Spark-stage granularity.
   *
-  * Four committed stages: `signatures`, `edges`, `assign`, `flags` — the
-  * expensive shuffles. A killed job re-run with the same store reloads
-  * every committed stage byte-identically (builders are not evaluated)
-  * and recomputes only what never committed; emission is derived from the
-  * source scan + the `flags` stage, so outputs stay projections of input
-  * rows. Lineage (per-partition row counts + checksums) and metrics land
-  * in `_lineage` / `_metrics` tables in the store.
+  * Five committed stages: `signatures`, `scored` (every LSH candidate
+  * pair with its est-Jaccard / Hamming / verified verdict), `substr_edges`,
+  * `assign`, `flags` — the expensive shuffles. A killed job re-run with
+  * the same store reloads every committed stage byte-identically (builders
+  * are not evaluated) and recomputes only what never committed; emission
+  * is derived from the source scan + the `flags` stage, so outputs stay
+  * projections of input rows. Staging the scored pairs (not just the
+  * verified edges) keeps `nearMisses` identical to the non-resumable
+  * pipeline's contract. Lineage (per-partition row counts + checksums)
+  * and metrics land in `_lineage` / `_metrics` tables in the store.
+  *
+  * Resume safety: the store is bound to a fingerprint of (config, input
+  * row count, order-independent url checksum) on first run; re-running
+  * against the same store with a different config or input fails fast
+  * instead of mixing stale committed stages with fresh ones. The binding
+  * costs one narrow url-only scan per invocation.
   */
 object ResumableDedupPipeline {
+
+  /** Order-independent input identity + config hash. */
+  private def fingerprint(pages: DataFrame, cfg: DedupConfig): String = {
+    val row = pages
+      .select(F.xxhash64(F.col("url")).as("h"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.coalesce(F.expr("bit_xor(h)"), F.lit(0L)).as("x"))
+      .head()
+    val cfgHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(cfg.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    s"cfg=$cfgHash rows=${row.getLong(0)} urlxor=${row.getLong(1)}"
+  }
 
   def run(pages: DataFrame, cfg: DedupConfig, store: StageStore): DedupResult = {
     val spark = pages.sparkSession
     import spark.implicits._
+
+    store.ensureBinding(fingerprint(pages, cfg))
 
     val (sigsAllRaw, gateRejects) = DedupPipeline.signatures(pages, cfg)
     val sigsAll = store.runStaged("signatures") {
       sigsAllRaw.select("doc_id", "text", "minhash", "simhash")
     }
     val sigs = sigsAll.where($"minhash".isNotNull)
+    val sigCols = sigs.select("doc_id", "minhash", "simhash")
 
-    val edges = store.runStaged("edges")(DedupPipeline.dupEdges(sigs, cfg))
+    val scored = store.runStaged("scored") {
+      val (pairs, _) = Lsh.candidatePairs(sigCols, cfg)
+      Lsh.verifyPairs(pairs, sigCols, cfg)
+    }
+    val substr = store.runStaged("substr_edges") {
+      if (cfg.substringPass)
+        SubstringDedup.substringEdges(sigs.select($"doc_id", $"text"), cfg)
+      else spark.emptyDataset[(Long, Long, Double)].toDF("a", "b", "containment")
+    }
+    val edges = scored.where($"verified").select($"a", $"b")
+      .union(substr.select($"a", $"b"))
     val assign = store.runStaged("assign")(ConnectedComponents.run(edges))
     val flags = store.runStaged("flags")(DedupPipeline.winnerFlags(sigs, assign, cfg))
 
@@ -46,16 +81,23 @@ object ResumableDedupPipeline {
     val duplicates = flagged.where($"is_duplicate")
       .drop("is_canonical", "is_duplicate")
     val clusters = flagged.select($"url", $"doc_id", $"cluster_id", $"is_canonical")
-    val nearMisses = spark.emptyDataset[(Long, Long)].toDF("a", "b")
+    val nearMisses = scored.where(!$"verified")
 
     val flagStats = flags.agg(
       F.count(F.lit(1)),
       F.coalesce(F.sum(F.when($"is_duplicate", 1L).otherwise(0L)), F.lit(0L))).head()
-    val metrics = Seq(
+    val scoredStats = scored.agg(
+      F.count(F.lit(1)),
+      F.coalesce(F.sum(F.when($"verified", 1L).otherwise(0L)), F.lit(0L))).head()
+    val metrics = (Seq(
       "docs_flagged" -> flagStats.getLong(0),
       "duplicates_removed" -> flagStats.getLong(1),
-      "edges" -> edges.count()
-    ).toDF("metric", "value").orderBy("metric")
+      "candidate_pairs" -> scoredStats.getLong(0),
+      "verified_pairs" -> scoredStats.getLong(1),
+      "near_miss_pairs" -> (scoredStats.getLong(0) - scoredStats.getLong(1)),
+      "substring_pairs" -> substr.count()
+    ) ++ DedupPipeline.distanceHistograms(scored))
+      .toDF("metric", "value").orderBy("metric")
     store.writeMetrics(metrics)
 
     DedupResult(flagged, deduped, duplicates, clusters, nearMisses, rejects, metrics)

@@ -66,7 +66,7 @@ object SubstringDedup {
 
     // directed candidates: shorter doc (a) potentially inside longer (b);
     // shared-fingerprint count / |fp(a)| = containment estimate
-    val cand = buckets
+    val candRaw = buckets
       .select(F.explode(F.col("ms")).as("x"), F.col("ms"))
       .select(F.col("x"), F.explode(F.col("ms")).as("y"))
       .where(F.col("x.len") < F.col("y.len") ||
@@ -76,20 +76,25 @@ object SubstringDedup {
       .withColumn("containment", F.col("shared").cast("double") / F.col("nfp_a"))
       .where(F.col("containment") >= cfg.containmentThreshold)
       .select("a", "b", "containment")
-      // consumed twice below (doc-reduction semi-join + the pair join):
-      // without this the winnow/window/agg subtree runs twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // consumed twice below (doc-reduction semi-join + the pair join):
+    // without the cache the winnow/window/agg subtree runs twice
+    val cand = graft.Caches.track(candRaw)
 
-    // exact verification: literal substring occurrence (ASCII-case-folded,
-    // matching the fingerprint fold). Join discipline: (1) semi-join
-    // reduce the text table to candidate members only — the payload that
-    // crosses a shuffle is bounded by candidate count, not corpus size;
-    // (2) shuffle-hash joins — sort-merge would sort megabytes of text
-    // per row for a hash-equality lookup.
+    // exact verification: literal substring occurrence, folded with the
+    // SAME ASCII-only A-Z→a-z fold the fingerprints sampled (F.lower is
+    // full Unicode and can change string length — e.g. 'İ' — so the
+    // verified predicate would not be the sampled one on non-ASCII text).
+    // Join discipline: (1) semi-join reduce the text table to candidate
+    // members only — the payload that crosses a shuffle is bounded by
+    // candidate count, not corpus size; (2) shuffle-hash joins —
+    // sort-merge would sort megabytes of text per row for a hash-equality
+    // lookup.
+    val asciiFold = (c: org.apache.spark.sql.Column) =>
+      F.translate(c, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
     val candDocs = cand.select(F.col("a").as("doc_id"))
       .union(cand.select(F.col("b").as("doc_id"))).distinct()
     val needed = reps.join(candDocs, Seq("doc_id"), "left_semi")
-      .select(F.col("doc_id"), F.lower(F.col("text")).as("t"))
+      .select(F.col("doc_id"), asciiFold(F.col("text")).as("t"))
     val ta = needed.select(F.col("doc_id").as("a"), F.col("t").as("text_a"))
     val tb = needed.select(F.col("doc_id").as("b"), F.col("t").as("text_b"))
     cand.join(ta.hint("shuffle_hash"), "a")

@@ -35,6 +35,22 @@ final class StageStore(spark: SparkSession, root: String) {
   def isCommitted(stage: String): Boolean =
     Files.exists(Paths.get(dirOf(stage), "_SUCCESS"))
 
+  /** Bind this store to one (config, input) identity so a resume cannot
+    * silently mix committed stages from a different run (changed config
+    * or changed input reusing a stale store). First call records the
+    * fingerprint; later calls must present the same one or fail. */
+  def ensureBinding(fingerprint: String): Unit = {
+    val p = Paths.get(root, "_binding")
+    if (Files.exists(p)) {
+      val prev = Files.readString(p).trim
+      require(prev == fingerprint,
+        s"stage store at $root is bound to a different run:\n  committed: $prev\n  current:   $fingerprint\nUse a fresh store root (or delete this one) to rerun with changed config/input.")
+    } else {
+      Files.createDirectories(Paths.get(root))
+      Files.writeString(p, fingerprint)
+    }
+  }
+
   /** Build-or-reload: if the stage committed in a previous run, reload it
     * (the resume path — `build` is never evaluated); otherwise evaluate,
     * commit atomically, record lineage. Always returns the on-store data,

@@ -106,4 +106,55 @@ class DedupPipelineSpec extends SparkSpec {
     assert(m("substring_pairs") >= 1L)
     assert(m("lsh_overflow_rows") === 0L)
   }
+
+  test("distance histograms: 8 buckets per family, totals = candidate pairs") {
+    val m = result.metrics.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ej = (0 until 8).map(b => m(s"hist_est_jaccard_$b"))
+    val hm = (0 until 8).map(b => m(s"hist_sim_hamming_$b"))
+    assert(ej.sum === m("candidate_pairs"))
+    assert(hm.sum === m("candidate_pairs"))
+    // verified pairs have est ≥ τ = 0.8 → buckets 6 (est < 0.875) and 7
+    assert(ej(6) + ej(7) >= m("verified_pairs"))
+  }
+
+  test("NULL lang is rejected when a language whitelist is set") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      ("https://x/1", "the quick brown fox jumps over the lazy dog again", "en"),
+      ("https://x/2", "the quick brown fox jumps over the lazy dog again", null),
+      ("https://x/3", "otra pagina distinta con palabras suficientes aqui", "es"))
+      .toDF("url", "text", "lang")
+      .withColumn("warc_ts", F.current_timestamp())
+      .withColumn("html", F.encode(F.col("text"), "UTF-8"))
+    val (sigsAll, rejects) = DedupPipeline.signatures(
+      rows, DedupConfig(allowedLangs = Some(Set("en"))))
+    val rej = rejects.select("url", "reject_reason").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rej === Map("https://x/2" -> "lang", "https://x/3" -> "lang"))
+    assert(sigsAll.select("url").collect().map(_.getString(0)).toSeq === Seq("https://x/1"))
+  }
+
+  test("dedupeByUrl keeps one row per url (latest crawl), deterministically") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      ("https://x/a", "old text", "en", 1000L),
+      ("https://x/a", "new text", "en", 2000L),
+      ("https://x/b", "only row", "en", 1500L))
+      .toDF("url", "text", "lang", "ms")
+      .withColumn("warc_ts", F.timestamp_millis(F.col("ms"))).drop("ms")
+      .withColumn("html", F.encode(F.col("text"), "UTF-8"))
+    val out = DedupPipeline.dedupeByUrl(rows)
+      .select("url", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("https://x/a" -> "new text", "https://x/b" -> "only row"))
+  }
+
+  test("cleanup releases engine-tracked caches") {
+    val r = DedupPipeline.run(pages, cfg)
+    r.metrics.collect() // materialize
+    r.cleanup()
+    // result frames remain usable after cleanup (recompute, not failure)
+    assert(r.clusters.count() > 0)
+  }
 }

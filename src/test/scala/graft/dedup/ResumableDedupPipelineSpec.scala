@@ -61,7 +61,7 @@ class ResumableDedupPipelineSpec extends SparkSpec {
       val expected = full.clusters.collect()
         .map(r => (r.getString(0), r.getLong(2), r.getBoolean(3))).sorted.toSeq
 
-      // simulate a job killed after 'edges' committed: drop later stages
+      // simulate a job killed after 'scored' committed: drop later stages
       rmRf(root.resolve("assign"))
       rmRf(root.resolve("flags"))
       def mtimes(stage: String): Map[String, Long] = {
@@ -71,15 +71,56 @@ class ResumableDedupPipelineSpec extends SparkSpec {
           .toMap
       }
       val sigMt = mtimes("signatures")
-      val edgeMt = mtimes("edges")
+      val scoredMt = mtimes("scored")
       val resumed = ResumableDedupPipeline.run(pages, cfg, store)
       val got = resumed.clusters.collect()
         .map(r => (r.getString(0), r.getLong(2), r.getBoolean(3))).sorted.toSeq
       assert(got === expected)
       // committed stages were served from store, not rewritten
       assert(mtimes("signatures") === sigMt)
-      assert(mtimes("edges") === edgeMt)
+      assert(mtimes("scored") === scoredMt)
       assert(store.isCommitted("assign") && store.isCommitted("flags"))
+    } finally rmRf(root)
+  }
+
+  test("resumable result matches the non-resumable pipeline, nearMisses included") {
+    val root = tmpDir()
+    try {
+      val pages = SyntheticCorpus.pages(spark, 600)
+      val store = new StageStore(spark, root.toString)
+      val res = ResumableDedupPipeline.run(pages, cfg, store)
+      val ref = DedupPipeline.run(pages, cfg)
+      def pairs(df: org.apache.spark.sql.DataFrame) = df
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(pairs(res.nearMisses) === pairs(ref.nearMisses))
+      assert(res.nearMisses.columns.sorted === ref.nearMisses.columns.sorted)
+      def clus(df: org.apache.spark.sql.DataFrame) = df
+        .select("url", "cluster_id", "is_canonical").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).sorted.toSeq
+      assert(clus(res.clusters) === clus(ref.clusters))
+      ref.cleanup()
+    } finally rmRf(root)
+  }
+
+  test("store binding: resume with a changed config or input fails fast") {
+    val root = tmpDir()
+    try {
+      val store = new StageStore(spark, root.toString)
+      ResumableDedupPipeline.run(SyntheticCorpus.pages(spark, 300), cfg, store)
+      // changed config, same store → refuse (would mix stale stages)
+      val e1 = intercept[IllegalArgumentException] {
+        ResumableDedupPipeline.run(SyntheticCorpus.pages(spark, 300),
+          cfg.copy(tau = 0.5), store)
+      }
+      assert(e1.getMessage.contains("bound to a different run"))
+      // changed input, same store → refuse
+      val e2 = intercept[IllegalArgumentException] {
+        ResumableDedupPipeline.run(SyntheticCorpus.pages(spark, 320), cfg, store)
+      }
+      assert(e2.getMessage.contains("bound to a different run"))
+      // same config + input → resumes cleanly
+      val again = ResumableDedupPipeline.run(SyntheticCorpus.pages(spark, 300), cfg, store)
+      assert(again.clusters.count() > 0)
     } finally rmRf(root)
   }
 }
