@@ -57,6 +57,11 @@ object SparkEntry {
   private val winnowW = 24
   private val winnowWin = 16
 
+  /** q_ann_ivf_top1 codebook config — mirrored in its oracle SQL. */
+  private val ivfCentroids = 16
+  private val ivfProbes = 2
+  private val ivfMaxCell = 1000000
+
   private val dupSqlDocs =
     """SELECT doc_id, text FROM documents
       |UNION ALL
@@ -233,6 +238,15 @@ object SparkEntry {
       // approximate operator.
       Similarity.lshTopK(embeddings(s, dir), 1,
         numPlanes = annPlanes, probes = 1, maxBucket = annMaxBucket)
+        .select("vec_id", "nn_id")),
+
+    "q_ann_ivf_top1" -> ((s, dir) =>
+      // IVF codebook ANN — the second scale path beside RHP-LSH. Centroid
+      // selection (md5 rank), quantization, and the integer-dot cell
+      // assignment are all SQL-replayable, so the oracle recomputes the
+      // exact same cells and takes the exact within-probe top-1.
+      Similarity.ivfTopK(embeddings(s, dir), 1,
+        numCentroids = ivfCentroids, nProbe = ivfProbes, maxCell = ivfMaxCell)
         .select("vec_id", "nn_id")),
 
     // --- clustering kernel ----------------------------------------------
@@ -520,6 +534,47 @@ object SparkEntry {
          |      FROM s)
          |SELECT vec_id, nn_id FROM r WHERE rk = 1""".stripMargin
     },
+
+    "q_ann_ivf_top1" ->
+      // DuckDB replay of Similarity.ivfTopK: centroids = smallest md5
+      // rank, cells from the integer dot of quantized vector × quantized
+      // unit centroid, probes = top nProbe cells, exact cosine top-1
+      // within probed cells (ties by nn_id).
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         |         list_transform(embedding::DOUBLE[],
+         |                        x -> CAST(floor(x*1000000 + 0.5) AS BIGINT)) AS qv
+         |  FROM embeddings
+         |  WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0),
+         |c AS (
+         |  SELECT vec_id AS cid,
+         |         list_transform(emb, x -> CAST(floor(
+         |           x / sqrt(list_sum(list_transform(emb, y -> y*y))) * 1000000 + 0.5)
+         |           AS BIGINT)) AS qc
+         |  FROM e
+         |  ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
+         |  LIMIT $ivfCentroids),
+         |s AS (
+         |  SELECT e.vec_id, e.emb, c.cid,
+         |         list_sum(list_transform(range(len(e.qv)), i -> e.qv[i+1] * c.qc[i+1])) AS d
+         |  FROM e CROSS JOIN c),
+         |rc AS (
+         |  SELECT vec_id, emb, cid,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS cr
+         |  FROM s),
+         |assigned AS (SELECT vec_id, emb, cid AS cell FROM rc WHERE cr = 1),
+         |okcells AS (SELECT cell FROM assigned GROUP BY cell
+         |            HAVING count(*) BETWEEN 1 AND $ivfMaxCell),
+         |members AS (SELECT a.* FROM assigned a JOIN okcells USING (cell)),
+         |probes AS (SELECT vec_id, emb, cid AS cell FROM rc WHERE cr <= $ivfProbes),
+         |cand AS (
+         |  SELECT p.vec_id, m.vec_id AS nn_id,
+         |         list_cosine_similarity(p.emb, m.emb) AS cos
+         |  FROM probes p JOIN members m ON p.cell = m.cell AND p.vec_id <> m.vec_id),
+         |r AS (SELECT vec_id, nn_id,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) AS rk
+         |      FROM cand)
+         |SELECT vec_id, nn_id FROM r WHERE rk = 1""".stripMargin,
 
     "q_embedding_top1" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -260,6 +260,87 @@ object Similarity {
       .distinct()
   }
 
+  // ------------------------------------------------------------------- IVF
+
+  /** Deterministic centroid selection rank, SQL-replayable: the md5 of the
+    * decimal vec_id string, first 15 hex digits as a long. (xxhash64 has
+    * no DuckDB twin; md5 does.) */
+  private def md5Rank(id: Column): Column =
+    F.conv(F.substring(F.md5(F.encode(id.cast("string"), "UTF-8")), 1, 15), 16, 10)
+      .cast("long")
+
+  /** IVF (inverted-file) approximate top-k — the codebook-based scale
+    * path, complementing the hash-based [[lshTopK]]:
+    *
+    *  1. CENTROIDS: the `numCentroids` vectors with the smallest
+    *     [[md5Rank]] — a deterministic pseudo-random sample (no Lloyd
+    *     iterations, so the whole layout stays SQL-replayable for the
+    *     oracle). Codebooks are small by construction: collecting and
+    *     broadcasting C·dim floats is how IVF ships on any engine, and is
+    *     independent of corpus size.
+    *  2. ASSIGN: every vector to its best centroid by INTEGER dot product
+    *     (micro-unit-quantized vector × micro-unit-quantized unit
+    *     centroid; ties → smaller centroid id) — a broadcast scan, no
+    *     shuffle. Integer scoring makes the assignment — like the RHP
+    *     buckets — bit-identically replayable in SQL; only the final
+    *     candidate scoring is floating cosine.
+    *  3. PROBE: each query scans the vectors of its own `nProbe` nearest
+    *     cells — a cell-id equi-join (shuffles on cell id, cells average
+    *     n/C members; the same count-filter cap discipline as LSH guards
+    *     degenerate cells).
+    *
+    * Output columns and tie rule match [[bruteForceTopK]]; recall < 1 by
+    * design and rises with `nProbe`. */
+  def ivfTopK(embeddings: DataFrame, k: Int, numCentroids: Int = 16,
+              nProbe: Int = 2, maxCell: Int = 1000000): DataFrame = {
+    val e = prepared(embeddings)
+    val spark = e.sparkSession
+    import spark.implicits._
+    // codebook: C·dim quantized unit centroids — corpus-size-independent
+    val cents = e.select(F.col("vec_id"), F.col("emb"), F.col("nrm"))
+      .withColumn("rk", md5Rank(F.col("vec_id")))
+      .orderBy("rk", "vec_id").limit(numCentroids)
+      .select(F.col("vec_id"),
+        F.transform(F.col("emb"), x => F.floor(x / F.col("nrm") * 1000000.0d + 0.5d)).as("qc"))
+      .as[(Long, Array[Long])].collect().sortBy(_._1)
+
+    // cell ranking per vector: integer dot vs every centroid, best first
+    // (sort key (-dot, cid) so array_sort ascending = dot desc, id asc)
+    def cellRanks(rawEmb: Column): Column = {
+      val qv = quantized(rawEmb)
+      F.array_sort(F.array(cents.map { case (cid, qc) =>
+        F.struct(
+          (-F.aggregate(F.zip_with(qv, F.typedLit(qc), _ * _), F.lit(0L), _ + _)).as("nd"),
+          F.lit(cid).as("cid"))
+      }: _*))
+    }
+
+    val unit = e.select(F.col("vec_id"), F.col("emb"),
+      F.transform(F.col("emb"), x => x / F.col("nrm")).as("unit"))
+    val ranked = unit.withColumn("ranks", cellRanks(F.col("emb")))
+    val assigned = ranked.select(F.col("vec_id"), F.col("unit"),
+      F.element_at(F.col("ranks"), 1).getField("cid").as("cell"))
+    val capped = {
+      val ok = assigned.groupBy("cell").count()
+        .where(F.col("count").between(1, maxCell)).select("cell")
+      assigned.join(ok.hint("shuffle_hash"), Seq("cell"))
+    }
+    val probes = ranked.select(F.col("vec_id"), F.col("unit").as("qunit"),
+      F.explode(F.slice(F.col("ranks"), 1, nProbe)).as("p"))
+      .select(F.col("vec_id"), F.col("qunit"), F.col("p").getField("cid").as("cell"))
+    val cand = probes.join(
+      capped.select(F.col("cell"), F.col("vec_id").as("nn_id"), F.col("unit").as("cunit")),
+      Seq("cell"))
+      .where(F.col("vec_id") =!= F.col("nn_id"))
+      .select(F.col("vec_id"), F.col("nn_id"),
+        F.aggregate(F.zip_with(F.col("qunit"), F.col("cunit"), _ * _),
+          F.lit(0.0), _ + _).as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc, F.col("nn_id"))
+    cand.withColumn("rank", F.row_number().over(w))
+      .where(F.col("rank") <= k)
+      .select(F.col("vec_id"), F.col("rank").cast("long").as("rank"), F.col("nn_id"))
+  }
+
   /** Near-duplicate vector pairs: cosine ≥ threshold, vec_a < vec_b.
     * SPEC ORACLE ONLY — same collect+broadcast layout as
     * [[bruteForceTopK]]; production queries use [[nearDupPairsBucketed]]. */

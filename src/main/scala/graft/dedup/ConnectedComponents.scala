@@ -45,22 +45,27 @@ object ConnectedComponents {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // canonical edge orientation (big, small), dropping self-loops
+    // canonical edge orientation (big, small), dropping self-loops.
+    // LAZY localCheckpoint: the convergence-signature aggregate is the
+    // action that materializes it, so each round costs ONE Spark job
+    // (checkpoint + count + xor in a single pass) instead of two — at
+    // small-per-round edge volumes the driver-side job latency is the
+    // dominant cost of the loop, not the shuffle.
     var cur = in.where($"u" =!= $"v")
       .select(F.greatest($"u", $"v").as("u"), F.least($"u", $"v").as("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
-    var converged = cur.isEmpty
     var lastSig: (Long, Long) = signature(cur)
+    var converged = lastSig._1 == 0L // no edges at all
     var iter = 0
     while (!converged && iter < maxIterations) {
       val ls = largeStar(cur)
       val ss = smallStar(ls)
-      val next = ss.localCheckpoint(true)
+      val next = ss.localCheckpoint(false)
+      val sig = signature(next)
       cur.unpersist(false)
       cur = next
-      val sig = signature(cur)
       converged = sig == lastSig
       lastSig = sig
       iter += 1

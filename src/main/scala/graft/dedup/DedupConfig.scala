@@ -35,12 +35,14 @@ final case class DedupConfig(
       * win also sets the sampling density (~2/(win+1) of all grams): the
       * posting volume knob — at 10^12 docs this is the dominant shuffle. */
     winnowW: Int = 48,
-    winnowWin: Int = 64,
+    winnowWin: Int = 96,
     /** Fraction of the contained doc's fingerprints that must appear in the
       * container before the literal `contains` verification runs. */
     containmentThreshold: Double = 0.8,
-    /** Docs shorter than this many chars can't be substring-dedup subjects. */
-    minSubstringChars: Int = 128,
+    /** Docs shorter than this many chars can't be substring-dedup
+      * subjects. Must be ≥ winnowW + winnowWin − 1 (the winnowing
+      * guarantee floor), enforced below. */
+    minSubstringChars: Int = 143,
     /** Fingerprints shared by more than this many docs are dropped from
       * substring candidate generation (boilerplate guard). */
     maxFingerprintPostings: Int = 1000,
@@ -70,4 +72,8 @@ final case class DedupConfig(
     s"numHashes ($numHashes) must equal bands*rowsPerBand (${bands * rowsPerBand})")
   require(Set("window", "salted").contains(hotBucketStrategy),
     s"hotBucketStrategy must be 'window' or 'salted', got '$hotBucketStrategy'")
+  require(minSubstringChars >= winnowW + winnowWin - 1,
+    s"minSubstringChars ($minSubstringChars) below the winnowing guarantee " +
+      s"floor winnowW+winnowWin-1 (${winnowW + winnowWin - 1}): docs shorter " +
+      "than the floor can share no fingerprint with their container")
 }

@@ -105,17 +105,26 @@ object DedupPipeline {
     * (reference/dupliganger/constants.py:67-88, incremented at
     * dedup.py:442-458): est-Jaccard bucket = min(floor(est·8), 7),
     * SimHash-Hamming bucket = min(hamming, 7). */
-  def distanceHistograms(scored: DataFrame): Seq[(String, Long)] = {
-    val aggs =
-      (0 until 8).map(b => F.coalesce(F.sum(F.when(
-        F.least(F.floor(F.col("est_jaccard") * 8), F.lit(7L)) === b, 1L)
-        .otherwise(0L)), F.lit(0L))) ++
+  /** The 16 aggregate columns behind [[distanceHistograms]], exposed so
+    * callers can fold them into an existing pass over the scored pairs
+    * (one aggregation job instead of two). */
+  def distanceHistogramAggs: Seq[org.apache.spark.sql.Column] =
+    (0 until 8).map(b => F.coalesce(F.sum(F.when(
+      F.least(F.floor(F.col("est_jaccard") * 8), F.lit(7L)) === b, 1L)
+      .otherwise(0L)), F.lit(0L))) ++
       (0 until 8).map(b => F.coalesce(F.sum(F.when(
         F.least(F.col("sim_hamming"), F.lit(7)) === b, 1L)
         .otherwise(0L)), F.lit(0L)))
+
+  /** Histogram metric names, positionally matching [[distanceHistogramAggs]]. */
+  val distanceHistogramLabels: Seq[String] =
+    (0 until 8).map(b => s"hist_est_jaccard_$b") ++
+      (0 until 8).map(b => s"hist_sim_hamming_$b")
+
+  def distanceHistograms(scored: DataFrame): Seq[(String, Long)] = {
+    val aggs = distanceHistogramAggs
     val row = scored.agg(aggs.head, aggs.tail: _*).head()
-    (0 until 8).map(b => s"hist_est_jaccard_$b" -> row.getLong(b)) ++
-      (0 until 8).map(b => s"hist_sim_hamming_$b" -> row.getLong(8 + b))
+    distanceHistogramLabels.zipWithIndex.map { case (l, i) => l -> row.getLong(i) }
   }
 
   /** Winner flags per doc: (doc_id, cluster_id, is_canonical,
@@ -198,8 +207,12 @@ object DedupPipeline {
     // winner shuffles)
     val flags = winnerFlags(sigs, assign, cfg)
 
-    // Op5 prep — the ONE wide join: flags back onto full admitted rows
-    val flagged = graft.Caches.track(admittedWide.join(flags, "doc_id"))
+    // Op5 prep — the ONE wide join: flags back onto full admitted rows.
+    // shuffle_hash: the hash table builds from the narrow flags side and
+    // the wide (html-bearing) rows stream through — sort-merge would sort
+    // kilobytes of payload per row to equality-match an 8-byte id.
+    val flagged = graft.Caches.track(
+      admittedWide.join(flags.hint("shuffle_hash"), "doc_id"))
 
     // Op5 — emission (reference write_output_files_pe: anti/semi routing)
     val deduped = flagged.where($"is_canonical")
@@ -215,10 +228,15 @@ object DedupPipeline {
     val sigStats = sigsAll.agg(
       F.count(F.lit(1)), F.count($"minhash")).head()
     val (docsSigned, docsAdmitted) = (sigStats.getLong(0), sigStats.getLong(1))
-    val pairStats = scored.agg(
+    // one pass over scored: counts + the 16 histogram buckets
+    val pairAggs = Seq(
       F.count(F.lit(1)),
-      F.coalesce(F.sum(F.when($"verified", 1L).otherwise(0L)), F.lit(0L))).head()
+      F.coalesce(F.sum(F.when($"verified", 1L).otherwise(0L)), F.lit(0L))) ++
+      distanceHistogramAggs
+    val pairStats = scored.agg(pairAggs.head, pairAggs.tail: _*).head()
     val (candPairs, verifiedPairs) = (pairStats.getLong(0), pairStats.getLong(1))
+    val hists = distanceHistogramLabels.zipWithIndex
+      .map { case (l, i) => l -> pairStats.getLong(i + 2) }
     val substrPairs = substr.count()
     val flagStats = flagged.agg(
       F.coalesce(F.sum(F.when($"is_duplicate", 1L).otherwise(0L)), F.lit(0L)),
@@ -239,7 +257,7 @@ object DedupPipeline {
       "duplicates_removed" -> dupsRemoved,
       "lsh_overflow_buckets" -> o.getLong(0),
       "lsh_overflow_rows" -> o.getLong(1)
-    ).++(distanceHistograms(scored)).toDF("metric", "value").orderBy("metric")
+    ).++(hists).toDF("metric", "value").orderBy("metric")
 
     DedupResult(flagged, deduped, duplicates, clusters, nearMisses, rejects, metrics)
   }

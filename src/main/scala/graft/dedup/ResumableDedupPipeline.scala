@@ -75,7 +75,8 @@ object ResumableDedupPipeline {
       sigsAll.where($"minhash".isNull).select("doc_id"), Seq("doc_id"), "left_semi")
       .withColumn("reject_reason", F.lit("no_content"))
     val rejects = gateRejects.unionByName(noContent, allowMissingColumns = true)
-    val flagged = admittedWide.join(flags, "doc_id")
+    // narrow side builds the hash table; wide rows stream (no payload sort)
+    val flagged = admittedWide.join(flags.hint("shuffle_hash"), "doc_id")
     val deduped = flagged.where($"is_canonical")
       .drop("is_canonical", "is_duplicate", "cluster_id")
     val duplicates = flagged.where($"is_duplicate")
@@ -86,9 +87,13 @@ object ResumableDedupPipeline {
     val flagStats = flags.agg(
       F.count(F.lit(1)),
       F.coalesce(F.sum(F.when($"is_duplicate", 1L).otherwise(0L)), F.lit(0L))).head()
-    val scoredStats = scored.agg(
+    val scoredAggs = Seq(
       F.count(F.lit(1)),
-      F.coalesce(F.sum(F.when($"verified", 1L).otherwise(0L)), F.lit(0L))).head()
+      F.coalesce(F.sum(F.when($"verified", 1L).otherwise(0L)), F.lit(0L))) ++
+      DedupPipeline.distanceHistogramAggs
+    val scoredStats = scored.agg(scoredAggs.head, scoredAggs.tail: _*).head()
+    val hists = DedupPipeline.distanceHistogramLabels.zipWithIndex
+      .map { case (l, i) => l -> scoredStats.getLong(i + 2) }
     val metrics = (Seq(
       "docs_flagged" -> flagStats.getLong(0),
       "duplicates_removed" -> flagStats.getLong(1),
@@ -96,8 +101,7 @@ object ResumableDedupPipeline {
       "verified_pairs" -> scoredStats.getLong(1),
       "near_miss_pairs" -> (scoredStats.getLong(0) - scoredStats.getLong(1)),
       "substring_pairs" -> substr.count()
-    ) ++ DedupPipeline.distanceHistograms(scored))
-      .toDF("metric", "value").orderBy("metric")
+    ) ++ hists).toDF("metric", "value").orderBy("metric")
     store.writeMetrics(metrics)
 
     DedupResult(flagged, deduped, duplicates, clusters, nearMisses, rejects, metrics)

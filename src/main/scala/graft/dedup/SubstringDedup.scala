@@ -40,10 +40,17 @@ object SubstringDedup {
     * fingerprints). Callers composing substringEdges WITHOUT the LSH pass
     * must expand edges over exact-text groups themselves. */
   def substringEdges(docs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val reps = docs
-      .groupBy(F.xxhash64(F.col("text")).as("th"))
-      .agg(F.min(F.col("doc_id")).as("doc_id"), F.first(F.col("text")).as("text"))
-      .drop("th")
+    // Representative selection shuffles IDS ONLY (16 B/row): min doc_id
+    // per text-hash, joined back to the scan. The direct
+    // groupBy(text).first(text) form would push every text byte through
+    // the exchange and hold it in aggregation state; here the wide column
+    // stays in the scan and AQE turns the join into a broadcast when the
+    // rep-id table is small enough.
+    val repIds = graft.Caches.track(docs
+      .select(F.col("doc_id"), F.xxhash64(F.col("text")).as("th"))
+      .groupBy("th").agg(F.min(F.col("doc_id")).as("doc_id"))
+      .select("doc_id")) // ids only; consumed by both reps uses below
+    val reps = docs.join(repIds, Seq("doc_id"), "left_semi")
     val eligible = reps
       .where(F.length(F.col("text")) >= cfg.minSubstringChars)
       .select(F.col("doc_id"),

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
@@ -23,11 +23,12 @@ import HashUtil._
   * empty text yields an empty array (routed to rejects upstream).
   *
   * Single pass, allocation-light (ring buffer + open-address long set);
-  * CodegenFallback — the surrounding plan stays in whole-stage codegen and
-  * calls eval() for this leaf computation.
+  * `doGenCode` keeps the whole projection inside whole-stage codegen (the
+  * generated code calls this instance's [[evalNonNull]] directly — no
+  * InternalRow boxing, no fallback eval path).
   */
 case class ShingleHashes(child: Expression, k: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(k >= 1, s"shingle k must be >= 1, got $k")
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -36,9 +37,15 @@ case class ShingleHashes(child: Expression, k: Int, seed: Long)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    UnsafeArrayData.fromPrimitiveArray(ShingleHashes.compute(text, k, seed))
+  override def nullSafeEval(input: Any): Any =
+    evalNonNull(input.asInstanceOf[UTF8String])
+
+  def evalNonNull(text: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(ShingleHashes.compute(text.toString, k, seed))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashes", this, classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalNonNull($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
@@ -96,7 +103,7 @@ object ShingleHashes {
   * tag out of the payload into a typed key column.
   */
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -120,8 +127,10 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     b
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    evalOrNull(input.asInstanceOf[ArrayData])
+
+  def evalOrNull(arr: ArrayData): ArrayData = {
     val m = arr.numElements()
     if (m == 0) return null
     val mins = new Array[Long](numHashes)
@@ -141,6 +150,14 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHash", this, classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |org.apache.spark.sql.catalyst.util.ArrayData r = $ref.evalOrNull($c);
+      |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+      |""".stripMargin)
+  }
+
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
 }
@@ -153,7 +170,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   * Spark built-in). Empty array → null.
   */
 case class SimHash64(child: Expression, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == ArrayType(LongType, false) || child.dataType == ArrayType(LongType, true))
@@ -165,8 +182,13 @@ case class SimHash64(child: Expression, seed: Long)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null else evalNonEmpty(arr)
+  }
+
+  def isEmpty(arr: ArrayData): Boolean = arr.numElements() == 0
+
+  def evalNonEmpty(arr: ArrayData): Long = {
     val m = arr.numElements()
-    if (m == 0) return null
     val votes = new Array[Int](64)
     var j = 0
     while (j < m) {
@@ -183,6 +205,14 @@ case class SimHash64(child: Expression, seed: Long)
     var b = 0
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |if ($ref.isEmpty($c)) { ${ev.isNull} = true; }
+      |else { ${ev.value} = $ref.evalNonEmpty($c); }
+      |""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
@@ -205,7 +235,7 @@ case class SimHash64(child: Expression, seed: Long)
   * per-group suffix array would give, without the per-group memory wall).
   */
 case class WinnowedFingerprints(child: Expression, w: Int, win: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(w >= 2 && win >= 1, s"need w>=2, win>=1; got w=$w win=$win")
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -214,9 +244,16 @@ case class WinnowedFingerprints(child: Expression, w: Int, win: Int, seed: Long)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnowed_fingerprints"
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    UnsafeArrayData.fromPrimitiveArray(WinnowedFingerprints.compute(text, w, win, seed))
+  override def nullSafeEval(input: Any): Any =
+    evalNonNull(input.asInstanceOf[UTF8String])
+
+  def evalNonNull(text: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      WinnowedFingerprints.compute(text.toString, w, win, seed))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnow", this, classOf[WinnowedFingerprints].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalNonNull($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): WinnowedFingerprints =

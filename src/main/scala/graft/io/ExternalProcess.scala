@@ -1,0 +1,87 @@
+package graft.io
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.util.concurrent.LinkedBlockingQueue
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types.StringType
+
+/** External-process stage: shell a column through a line filter, one
+  * process per partition — the engine's analog of the reference's
+  * subprocess op stages (reference/dupliganger/remove_adapter.py:82-144
+  * runs the whole adapter-trim stage through an external tool; here the
+  * tool runs per partition, so the stage scales with the cluster instead
+  * of a single host pipe).
+  *
+  * Contract: `cmd` must be a LINE-PRESERVING filter (one output line per
+  * input line, e.g. `tr`, `sed -e s/…/…/`, a tokenizer): the stage zips
+  * stdout lines back onto the partition's rows positionally and RAISES on
+  * count mismatch. Input values must not contain newlines (checked).
+  * Rows are queued while in flight, so memory per task is bounded by the
+  * filter's internal buffering (a streaming filter holds O(1) lines; a
+  * sorting filter would buffer the partition — don't use one).
+  */
+object ExternalProcess {
+
+  /** df + `outCol`: the external filter's output line for each row's
+    * `inCol` value. */
+  def pipeLines(df: DataFrame, inCol: String, outCol: String,
+                cmd: Seq[String]): DataFrame = {
+    require(cmd.nonEmpty, "cmd must be non-empty")
+    val schema = df.schema.add(outCol, StringType)
+    val idx = df.schema.fieldIndex(inCol)
+    val cmdList = cmd.toIndexedSeq
+    df.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty[Row]
+      else {
+        val proc = new ProcessBuilder(cmdList: _*).start()
+        val pending = new LinkedBlockingQueue[Row]()
+        @volatile var writeError: Throwable = null
+        val writer = new Thread(() => {
+          val w = new BufferedWriter(
+            new OutputStreamWriter(proc.getOutputStream, "UTF-8"))
+          try {
+            it.foreach { r =>
+              val v = if (r.isNullAt(idx)) "" else r.getString(idx)
+              require(!v.contains('\n'),
+                s"pipeLines: value in '$inCol' contains a newline — the 1:1 line contract cannot hold")
+              pending.put(r)
+              w.write(v); w.newLine()
+            }
+            w.close()
+          } catch { case t: Throwable => writeError = t; proc.destroy() }
+        })
+        writer.setDaemon(true)
+        writer.start()
+        val rd = new BufferedReader(
+          new InputStreamReader(proc.getInputStream, "UTF-8"))
+        new Iterator[Row] {
+          private var line: String = rd.readLine()
+          override def hasNext: Boolean = {
+            if (line == null) {
+              writer.join()
+              if (writeError != null) throw writeError
+              if (!pending.isEmpty)
+                throw new IllegalStateException(
+                  s"external process '${cmdList.head}' emitted fewer lines than it was fed (${pending.size} rows unanswered) — not a line-preserving filter")
+              val code = proc.waitFor()
+              if (code != 0)
+                throw new IllegalStateException(
+                  s"external process '${cmdList.head}' exited with $code")
+            }
+            line != null
+          }
+          override def next(): Row = {
+            val row = pending.poll()
+            if (row == null)
+              throw new IllegalStateException(
+                s"external process '${cmdList.head}' emitted more lines than it was fed — not a line-preserving filter")
+            val out = Row.fromSeq(row.toSeq :+ line)
+            line = rd.readLine()
+            out
+          }
+        }
+      }
+    }(Encoders.row(schema))
+  }
+}

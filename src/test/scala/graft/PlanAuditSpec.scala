@@ -57,4 +57,25 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(q("q_token_stats"))
     assert(!p.contains("Exchange"), p)
   }
+
+  test("embedding queries: no driver-side collect in any oracle'd plan") {
+    // a collect-based layout would appear as a LocalTableScan/broadcast of
+    // the whole vector table built on the driver; the blocked/bucketed
+    // layouts must keep the candidate side in the scan
+    for (name <- Seq("q_embedding_top1", "q_embedding_dedup", "q_ann_lsh_top1")) {
+      val p = plan(q(name))
+      assert(!p.contains("LocalTableScan"), s"$name:\n$p")
+      assert(p.contains("Scan parquet") || p.contains("BatchScan"), s"$name:\n$p")
+    }
+  }
+
+  test("flagship emission join builds its hash table from the narrow side") {
+    val res = graft.dedup.DedupPipeline.run(
+      graft.io.SyntheticCorpus.pages(spark, 500),
+      graft.dedup.DedupConfig(allowedLangs = Some(Set("en"))))
+    val p = res.flagged.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      s"emission join degraded to sort-merge over wide rows:\n$p")
+    res.cleanup()
+  }
 }
