@@ -28,7 +28,12 @@ object PlanDump {
       "q_anti_join" -> "left_anti join — the reference's final-emission semantics (dedup.py:779-797)",
       "q_exact_dedup_groups" -> "map-side partial aggregation before the hash shuffle",
       "q_minhash_lsh_dedup" -> "band explode → window count (one shuffle) → capped pair gen → verify joins → CC",
-      "q_token_stats" -> "pure projection: single scan, zero Exchange")
+      "q_token_stats" -> "pure projection: single scan, zero Exchange",
+      "q_embedding_top1" -> "blocked exact kNN: no LocalTableScan (no driver collect); block cells cross-joined",
+      "q_ann_lsh_top1" -> "integer RHP buckets: count-filter cap, equi-join on (rep, bucket), window top-k",
+      "q_ann_ivf_top1" -> "IVF: codebook scan (small LIMIT subplan), cell equi-join, window top-k",
+      "q_embedding_dedup" -> "RHP-bucketed candidates + exact cosine verify, distinct pairs",
+      "q_winnow_fingerprints" -> "explode gram positions → windowed min over position order (one shuffle)")
 
     val md = new StringBuilder("# PLANS — formatted physical plans (audited)\n\n")
     md.append("Mechanical assertions over these properties live in " +
