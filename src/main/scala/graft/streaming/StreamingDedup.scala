@@ -5,10 +5,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import org.apache.spark.sql.{functions => F}
 
 import graft.analysis.TextAnalysis
+import graft.dedup.{DedupConfig, Lsh}
 
 /** Per-fingerprint streaming state: the first-seen document. (Top-level —
   * the state encoder's generated code needs a public constructor.) */
 final case class SeenState(firstUrl: String)
+
+/** One LSH-bucket member held in streaming state. */
+final case class BucketMember(id: Long, minhash: Array[Long], tsMs: Long)
+
+/** Per-bucket streaming state: recent members within the watermark. */
+final case class BucketState(members: Array[BucketMember])
+
+/** A verified streaming near-dup pair (id_a < id_b). */
+final case class StreamPair(id_a: Long, id_b: Long, est_jaccard: Double,
+                            ts: java.sql.Timestamp)
 
 /** Streaming ingestion dedup — the event-time re-expression of the
   * reference's "second scan + dup_db membership check" emission pass
@@ -76,6 +87,90 @@ object StreamingDedup {
           state.setTimeoutTimestamp(
             sorted.map(_._3.getTime).max, watermark)
           result.iterator
+        }
+    }
+  }
+
+  /** Streaming NEAR-duplicate detection — the event-time form of the
+    * batch LSH pass, sharing its exact signature/banding expressions
+    * (`minhash`, `Lsh.bandBuckets`, same `DedupConfig`): an arriving
+    * page's signature lands in its band buckets; per-bucket state holds
+    * the most recent `maxBucketState` members within the watermark; the
+    * arrival is verified (est-Jaccard ≥ τ, computed from the full
+    * signatures, exactly the batch semantics) against those members and
+    * qualifying pairs are emitted as (id_a, id_b, est_jaccard).
+    *
+    * Scale discipline (10^12-docs/day ingestion):
+    *  - state is keyed by bucket and bounded twice: event-time timeout
+    *    drops whole buckets past the watermark, and `maxBucketState` caps
+    *    a boilerplate mega-bucket (the streaming twin of the batch
+    *    `maxBucketSize` — overflow degrades recall, never memory).
+    *  - a pair sharing several bands can emit more than once across
+    *    micro-batches; within one batch duplicates are suppressed here,
+    *    across batches route through `dropDuplicatesWithinWatermark`
+    *    downstream (exactly how the batch pass `distinct()`s its pairs).
+    *
+    * Input: (url, text, event-time) columns; ids are `xxhash64(seed, url)`
+    * as in the batch pipeline. */
+  def nearDupPairsStream(docs: DataFrame, tsCol: String, watermark: String,
+                         cfg: DedupConfig = DedupConfig(),
+                         maxBucketState: Int = 64): Dataset[StreamPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.{minhash, shingles}
+    val keyed = docs
+      .select(
+        F.xxhash64(F.lit(cfg.seed), F.col("url")).as("doc_id"),
+        minhash(shingles(F.col("text"), cfg.shingleK, cfg.seed),
+          cfg.numHashes, cfg.seed).as("minhash"),
+        F.col(tsCol).cast("timestamp").as("ts"))
+      .where(F.col("minhash").isNotNull)
+      .withWatermark("ts", watermark)
+      .select(F.col("doc_id"), F.col("minhash"), F.col("ts"),
+        F.explode(Lsh.bandBuckets(F.col("minhash"), cfg.bands, cfg.rowsPerBand))
+          .as("bucket"))
+      .as[(Long, Array[Long], java.sql.Timestamp, Long)]
+      .groupByKey(_._4)
+
+    def estJ(a: Array[Long], b: Array[Long]): Double = {
+      var eq = 0; var i = 0
+      while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+      eq.toDouble / a.length
+    }
+
+    keyed.flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (bucket: Long, rows: Iterator[(Long, Array[Long], java.sql.Timestamp, Long)],
+       state: GroupState[BucketState]) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val wmMs = state.getCurrentWatermarkMs()
+          var members = state.getOption.map(_.members).getOrElse(Array.empty)
+            .filter(_.tsMs >= wmMs) // evict past-watermark members eagerly
+          val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._1))
+          val out = Vector.newBuilder[StreamPair]
+          val seenInBatch = scala.collection.mutable.HashSet.empty[(Long, Long)]
+          sorted.foreach { case (id, mh, ts, _) =>
+            members.foreach { m =>
+              if (m.id != id) {
+                val j = estJ(m.minhash, mh)
+                if (j >= cfg.tau) {
+                  val pair = (math.min(m.id, id), math.max(m.id, id))
+                  if (seenInBatch.add(pair))
+                    out += StreamPair(pair._1, pair._2, j, ts)
+                }
+              }
+            }
+            if (!members.exists(_.id == id)) {
+              members = (members :+ BucketMember(id, mh, ts.getTime))
+              if (members.length > maxBucketState)
+                members = members.sortBy(m => (-m.tsMs, m.id)).take(maxBucketState)
+            }
+          }
+          state.update(BucketState(members))
+          state.setTimeoutTimestamp(
+            math.max(wmMs + 1, members.map(_.tsMs).max), watermark)
+          out.result().iterator
         }
     }
   }

@@ -55,4 +55,48 @@ class StreamingDedupSpec extends SparkSpec {
       .map(r => r.getAs[String]("url") -> r.getAs[Boolean]("is_duplicate")).toMap
     assert(rows === Map("a1" -> false, "a2" -> true, "a3" -> false, "a4" -> true))
   }
+
+  test("nearDupPairsStream: near-dups found across micro-batches, unrelated pages are not") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.DedupConfig
+    import graft.io.SyntheticCorpus
+
+    // planted corpus rows streamed with synthetic event times: id 16 is a
+    // near-dup (1-2 word edits) of id 11, id 14 an exact copy of id 13
+    def page(id: Long, min: Int): (String, String, Timestamp) = {
+      val p = SyntheticCorpus.pageAt(42L, id)
+      (p.url, p.text, ts(min))
+    }
+    val cfg = DedupConfig(allowedLangs = None)
+    val input = MemoryStream[(String, String, Timestamp)]
+    val docs = input.toDF().toDF("url", "text", "ts")
+    val q = StreamingDedup.nearDupPairsStream(docs, "ts", "30 minutes", cfg)
+      .writeStream.format("memory").queryName("near_out")
+      .outputMode("append").start()
+
+    input.addData(page(11, 0), page(13, 1), page(0, 1), page(1, 2))
+    q.processAllAvailable()
+    // the dups arrive in LATER micro-batches → found via bucket state
+    input.addData(page(16, 3), page(14, 4))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("near_out").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // doc ids are xxhash64(seed, url) — recompute for the planted pages
+    val hash = Seq(11L, 13L, 16L, 14L).map { i =>
+      i -> spark.sql(
+        s"SELECT xxhash64(${cfg.seed}L, '${SyntheticCorpus.pageAt(42L, i).url}')")
+        .head().getLong(0)
+    }.toMap
+    def pair(a: Long, b: Long) =
+      (math.min(hash(a), hash(b)), math.max(hash(a), hash(b)))
+    assert(ids.contains(pair(11, 16)), s"missing near pair in $ids")
+    assert(ids.contains(pair(13, 14)), s"missing exact pair in $ids")
+    assert(ids.size === 2, s"unexpected extra pairs: $ids")
+    val js = spark.table("near_out").collect().map(_.getAs[Double]("est_jaccard"))
+    assert(js.forall(_ >= cfg.tau))
+  }
 }
