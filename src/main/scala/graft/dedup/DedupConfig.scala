@@ -49,11 +49,12 @@ final case class DedupConfig(
     /** Enforce doc_id uniqueness at ingest (input contract: url is THE
       * document key). 64-bit ids birthday-collide at ~n²/2^65 (≈10⁴ pairs
       * at 10^12 docs); without enforcement a collision fans out the flag
-      * join and corrupts counts. When on, colliding groups keep the
-      * min-url row and route the rest to rejects("id_collision") — one
-      * narrow (doc_id, url) shuffle + a broadcast join back. Disable only
-      * when the corpus is known collision-free. Duplicate input urls are
-      * a contract violation; pre-clean with DedupPipeline.dedupeByUrl. */
+      * join and corrupts counts. When on: duplicate input urls (contract
+      * violation) route to rejects("dup_url") — pre-clean with
+      * DedupPipeline.dedupeByUrl — and distinct-url hash collisions are
+      * resolved by salt-rehashing the non-min-url rows (all docs kept).
+      * Costs narrow (doc_id, url) shuffles + broadcast joins back.
+      * Disable only when the corpus is known collision-free. */
     enforceUniqueIds: Boolean = true,
     /** Languages admitted past the quality gate; None = admit all. */
     allowedLangs: Option[Set[String]] = None,

@@ -51,34 +51,37 @@ object DedupPipeline {
     * persisted sigsAll. */
   def signatures(pages: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) = {
     val hashed = pages.withColumn("doc_id", F.xxhash64(F.lit(cfg.seed), F.col("url")))
-    // Input contract: url is THE document key (doc_id = hash(url)). With
-    // enforcement on, a 64-bit birthday collision keeps the min-url row
-    // and rejects the rest — narrow (doc_id, url) agg + broadcast of the
-    // (rare) colliding groups, so no wide row ever shuffles for this.
+    // Input contract: url is THE document key (doc_id = hash(url)).
+    // Enforcement (see [[enforceIds]]) separates two failure modes, both
+    // detected by narrow (doc_id, url) aggregations — no wide row
+    // shuffles:
+    //  - duplicate urls (contract violation): indistinguishable by key,
+    //    so ALL copies route to rejects("dup_url") — pre-clean such
+    //    inputs with [[dedupeByUrl]];
+    //  - 64-bit birthday collisions between DISTINCT urls (~n²/2^65
+    //    pairs; ~10⁴ at 10^12 docs): the min-url row keeps its id, every
+    //    other row is remapped to a salt-rehashed id. The remap is a pure
+    //    function of the url — deterministic across runs/partitionings —
+    //    and keeps all documents in the run. Residual risk (a remapped id
+    //    colliding again) is ~collisions·n/2^64 ≈ 10⁻³ corpus-wide at
+    //    10^12 docs — documented, not re-checked.
     val base =
-      if (!cfg.enforceUniqueIds) hashed.withColumn("id_collision", F.lit(false))
-      else {
-        val collided = hashed.select("doc_id", "url")
-          .groupBy("doc_id")
-          .agg(F.count(F.lit(1)).as("n"), F.min("url").as("keep_url"))
-          .where(F.col("n") > 1)
-          .select("doc_id", "keep_url")
-        hashed.join(F.broadcast(collided), Seq("doc_id"), "left")
-          .withColumn("id_collision",
-            F.col("keep_url").isNotNull && F.col("url") =!= F.col("keep_url"))
-          .drop("keep_url")
-      }
+      if (!cfg.enforceUniqueIds) hashed.withColumn("dup_url", F.lit(false))
+      else enforceIds(hashed, cfg)
     val langOk = cfg.allowedLangs match {
       case Some(ls) => F.col("lang").isin(ls.toSeq: _*)
       case None => F.lit(true)
     }
-    val reason = F.when(F.col("id_collision"), "id_collision")
+    // null url cannot be keyed at all (joins and the remap are null-blind;
+    // admitting several null-url rows would share one doc_id) → reject
+    val reason = F.when(F.col("url").isNull, "null_url")
+      .when(F.col("dup_url"), "dup_url")
       .when(F.col("text").isNull, "null_text")
       .when(F.length(F.trim(F.col("text"))) < cfg.minTextChars, "empty_text")
       // NULL lang is a reject when a whitelist is set: isin() is
       // three-valued (NULL lang → NULL), so compare null-safely to true
       .when(F.not(langOk <=> F.lit(true)), "lang")
-    val gated = base.withColumn("reject_reason", reason).drop("id_collision")
+    val gated = base.withColumn("reject_reason", reason).drop("dup_url")
     val rejects = gated.where(F.col("reject_reason").isNotNull)
     val admitted = gated.where(F.col("reject_reason").isNull).drop("reject_reason")
     val sigsAll = admitted
@@ -87,6 +90,37 @@ object DedupPipeline {
       .withColumn("simhash", simhash(F.col("shingles"), cfg.seed))
       .drop("shingles")
     (sigsAll, rejects)
+  }
+
+  /** Id-uniqueness enforcement over a frame that already carries
+    * doc_id = xxhash64(seed, url): flags duplicate urls (`dup_url`
+    * column; the caller rejects them) and salt-rehashes the non-min-url
+    * rows of distinct-url hash collisions. Package-private so the remap
+    * branch — unreachable from real data, since xxhash64 collisions
+    * cannot be fabricated — is testable against synthetic doc_ids.
+    * dupUrls is joined WITHOUT a broadcast hint: its size is bounded only
+    * by contract compliance (a self-unioned crawl makes it corpus-sized),
+    * so the planner must stay free to shuffle-join it; `collided` is
+    * bounded by birthday math and safe to broadcast. */
+  private[dedup] def enforceIds(hashed: DataFrame, cfg: DedupConfig): DataFrame = {
+    val perUrl = hashed.select("doc_id", "url")
+      .groupBy("doc_id", "url").agg(F.count(F.lit(1)).as("nu"))
+    val dupUrls = perUrl.where(F.col("nu") > 1)
+      .select(F.col("url"), F.lit(true).as("dup_url"))
+    val collided = perUrl.groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("ng"), F.min("url").as("keep_url"))
+      .where(F.col("ng") > 1)
+      .select("doc_id", "keep_url")
+    hashed
+      .join(dupUrls, Seq("url"), "left")
+      .join(F.broadcast(collided), Seq("doc_id"), "left")
+      .withColumn("dup_url", F.coalesce(F.col("dup_url"), F.lit(false)))
+      .withColumn("doc_id",
+        F.when(!F.col("dup_url") && F.col("keep_url").isNotNull
+          && F.col("url") =!= F.col("keep_url"),
+          F.xxhash64(F.lit(cfg.seed + 1), F.col("url")))
+          .otherwise(F.col("doc_id")))
+      .drop("keep_url")
   }
 
   /** Pre-clean for inputs that violate the unique-url contract: one row

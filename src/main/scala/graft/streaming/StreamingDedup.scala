@@ -105,10 +105,17 @@ object StreamingDedup {
     *    drops whole buckets past the watermark, and `maxBucketState` caps
     *    a boilerplate mega-bucket (the streaming twin of the batch
     *    `maxBucketSize` — overflow degrades recall, never memory).
-    *  - a pair sharing several bands can emit more than once across
-    *    micro-batches; within one batch duplicates are suppressed here,
-    *    across batches route through `dropDuplicatesWithinWatermark`
-    *    downstream (exactly how the batch pass `distinct()`s its pairs).
+    *  - a pair sharing several bands emits once per SHARED BAND BUCKET
+    *    (state is per-bucket; buckets cannot see each other's emissions —
+    *    an exact copy can emit up to `bands` times in one micro-batch)
+    *    and can emit again in later batches. Consumers needing distinct
+    *    pairs route through `dropDuplicatesWithinWatermark(id_a, id_b)`
+    *    downstream — the streaming analog of the batch pass's
+    *    `distinct()`.
+    *  - state carries the full signature once per band (a `bands`×
+    *    amplification); a flagship-scale deployment would keep signatures
+    *    in a doc_id-keyed store and only (doc_id, ts) per bucket —
+    *    documented trade-off for a single self-contained operator.
     *
     * Input: (url, text, event-time) columns; ids are `xxhash64(seed, url)`
     * as in the batch pipeline. */

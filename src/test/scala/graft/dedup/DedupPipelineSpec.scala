@@ -67,7 +67,7 @@ class DedupPipelineSpec extends SparkSpec {
     assert(rejectIds === expected)
     val reasons = result.rejects.select("reject_reason").distinct().collect()
       .map(_.getString(0)).toSet
-    assert(reasons.subsetOf(Set("empty_text", "lang", "null_text", "no_content")))
+    assert(reasons.subsetOf(Set("empty_text", "lang", "null_text", "no_content", "dup_url")))
     // rejects never reach any dedup output
     assert(result.flagged.join(result.rejects.select("url"), Seq("url")).count() === 0)
   }
@@ -133,6 +133,60 @@ class DedupPipelineSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(rej === Map("https://x/2" -> "lang", "https://x/3" -> "lang"))
     assert(sigsAll.select("url").collect().map(_.getString(0)).toSeq === Seq("https://x/1"))
+  }
+
+  test("duplicate input urls are rejected as dup_url (contract enforcement)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      ("https://x/same", "first copy of the page text here", "en"),
+      ("https://x/same", "second copy different text even", "en"),
+      ("https://x/other", "an unrelated page with words", "en"))
+      .toDF("url", "text", "lang")
+      .withColumn("warc_ts", F.current_timestamp())
+      .withColumn("html", F.encode(F.col("text"), "UTF-8"))
+    val (sigsAll, rejects) = DedupPipeline.signatures(rows, DedupConfig())
+    assert(rejects.where(F.col("reject_reason") === "dup_url").count() === 2)
+    assert(sigsAll.select("url").collect().map(_.getString(0)).toSeq
+      === Seq("https://x/other"))
+  }
+
+  test("hash-collision remap: non-min-url row gets a salted id, all docs kept") {
+    val spark2 = spark
+    import spark2.implicits._
+    // synthetic doc_ids (the remap branch is unreachable from real data —
+    // xxhash64 collisions cannot be fabricated): a/b collide, c is clean
+    val hashed = Seq(
+      ("https://x/a", 7L), ("https://x/b", 7L), ("https://x/c", 9L))
+      .toDF("url", "doc_id")
+    val cfg = DedupConfig()
+    val out = DedupPipeline.enforceIds(hashed, cfg)
+      .select("url", "doc_id", "dup_url").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.values.forall(!_._2), "no dup_url flags expected")
+    assert(out("https://x/a")._1 === 7L, "min-url row keeps its id")
+    assert(out("https://x/c")._1 === 9L, "clean row untouched")
+    val remapped = out("https://x/b")._1
+    assert(remapped !== 7L)
+    val expected = spark.sql(s"SELECT xxhash64(${cfg.seed + 1}L, 'https://x/b')")
+      .head().getLong(0)
+    assert(remapped === expected, "remap must be the salted rehash of the url")
+  }
+
+  test("NULL url is rejected (cannot be keyed; would share one doc_id)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      (Some("https://x/ok"), "a fine page with enough words"),
+      (None, "first orphan page text here"),
+      (None, "second orphan page text here"))
+      .toDF("url", "text")
+      .withColumn("lang", F.lit("en"))
+      .withColumn("warc_ts", F.current_timestamp())
+      .withColumn("html", F.encode(F.col("text"), "UTF-8"))
+    val (sigsAll, rejects) = DedupPipeline.signatures(rows, DedupConfig())
+    assert(rejects.where(F.col("reject_reason") === "null_url").count() === 2)
+    assert(sigsAll.count() === 1)
   }
 
   test("dedupeByUrl keeps one row per url (latest crawl), deterministically") {
