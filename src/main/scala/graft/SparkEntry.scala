@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{functions => F}
 
@@ -277,6 +277,8 @@ object SparkEntry {
       docs(s, dir).select(
         F.col("doc_id"),
         TextAnalysis.diversityPermille(F.col("text")).as("diversity_pm"),
+        TextAnalysis.punctPermille(F.col("text")).as("punct_pm"),
+        TextAnalysis.stopwordPermille(F.col("text")).as("stopword_pm"),
         (F.length(F.col("text")) === F.col("n_chars")).as("len_matches_meta"),
         (TextAnalysis.tokenCount(F.col("text")) >= 20).as("len_ok"))),
 
@@ -598,15 +600,27 @@ object SparkEntry {
         |       length(text) AS n_chars_seen
         |FROM documents""".stripMargin,
 
-    "q_quality" ->
-      """SELECT doc_id,
-        |       CASE WHEN len(list_filter(string_split(text,' '), x -> x != '')) > 0
-        |            THEN floor(1000 * len(list_distinct(list_filter(string_split(text,' '), x -> x != '')))::DOUBLE
-        |                       / len(list_filter(string_split(text,' '), x -> x != '')))::BIGINT
-        |       END AS diversity_pm,
-        |       length(text) = n_chars AS len_matches_meta,
-        |       len(list_filter(string_split(text,' '), x -> x != '')) >= 20 AS len_ok
-        |FROM documents""".stripMargin,
+    "q_quality" -> {
+      val stop = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, n_chars,
+         |                  list_filter(string_split(text,' '), x -> x != '') AS ws
+         |           FROM documents)
+         |SELECT doc_id,
+         |       CASE WHEN len(ws) > 0
+         |            THEN floor(1000 * len(list_distinct(ws))::DOUBLE / len(ws))::BIGINT
+         |       END AS diversity_pm,
+         |       CASE WHEN length(text) > 0
+         |            THEN floor(1000 * len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+         |                       / length(text))::BIGINT
+         |       END AS punct_pm,
+         |       CASE WHEN len(ws) > 0
+         |            THEN floor(1000 * len(list_filter(ws, w -> w IN ($stop)))::DOUBLE
+         |                       / len(ws))::BIGINT
+         |       END AS stopword_pm,
+         |       length(text) = n_chars AS len_matches_meta,
+         |       len(ws) >= 20 AS len_ok
+         |FROM t""".stripMargin
+    },
 
     "q_langid" ->
       """WITH h AS (

@@ -32,6 +32,28 @@ object TextAnalysis {
       F.floor(F.lit(1000) * distinctTokenCount(text) / t).cast("long"))
   }
 
+  /** Punctuation density permille: floor(1000 · punct_chars / chars). */
+  def punctPermille(text: Column): Column = {
+    val n = F.length(text)
+    F.when(n > 0,
+      F.floor(F.lit(1000) * F.regexp_count(text, F.lit("[^A-Za-z0-9\\s]")) / n)
+        .cast("long"))
+  }
+
+  /** English stopword-token density permille — the classic quality-score
+    * component (natural prose ≈ 300-600‰; keyword spam / boilerplate
+    * lists ≈ 0). Token-exact (not substring hits). */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "and", "of", "to", "a", "in", "is", "that", "it", "for")
+
+  def stopwordPermille(text: Column): Column = {
+    val t = tokens(text)
+    F.when(F.size(t) > 0,
+      F.floor(F.lit(1000) *
+        F.size(F.filter(t, w => w.isin(EnglishStopwords: _*))) / F.size(t))
+        .cast("long"))
+  }
+
   /** A BPE-ish token estimate: words + digits runs + punctuation marks
     * (regexp-based; the whitespace count underestimates sub-word splits). */
   def tokenEstimateBpe(text: Column): Column =

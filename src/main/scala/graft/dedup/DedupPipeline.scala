@@ -2,7 +2,6 @@ package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
-import org.apache.spark.storage.StorageLevel
 import graft.functions._
 
 /** Results of a dedup run — the analog of the reference's five output
