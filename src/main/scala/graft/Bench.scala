@@ -176,38 +176,37 @@ object Bench {
     val dpsSmall = nDocs / tSmall
     val dpsBig = nDocs / tBig
 
-    // -- 3. per-stage scaling table (smaller corpus; optional over budget)
+    // -- 3. per-stage scaling table (smaller corpus; optional over budget).
+    // Artifacts are written BEFORE the optional table and rewritten with it
+    // after: if an external timeout kills the JVM mid-table, the headline
+    // and scaling results measured above are already on disk.
     val nStage = math.max(50000L, nDocs / 5)
-    val stages: Seq[(String, Double, Double)] =
-      if (elapsedSec > budgetSec * 0.85) {
-        System.err.println(f"[bench] budget: skipping per-stage table at $elapsedSec%.0f s")
-        Seq.empty
-      } else {
-        val small = stagedRun(nSmall, nStage).toMap
-        val big = stagedRun(nBig, nStage)
-        big.map { case (k, tb) => (k, small(k), tb) }
-      }
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val stageJson = stages.map { case (k, ts, tb) =>
-      "\"" + k + f"""":{"sec_small":$ts%.2f,"sec_big":$tb%.2f,"speedup":${ts / tb}%.2f}"""
-    }.mkString("{", ",", "}")
-    val scaling =
-      f"""{"pipeline_docs":$nDocs,"cores_small":$nSmall,"cores_big":$nBig,""" +
-        f""""sec_small":$tSmall%.2f,"sec_big":$tBig%.2f,""" +
-        f""""docs_per_sec_small":$dpsSmall%.1f,"docs_per_sec_big":$dpsBig%.1f,""" +
-        f""""scaling_efficiency":$efficiency%.3f,"timed_pairs":$nPairs,""" +
-        f""""stage_docs":$nStage,"stages":$stageJson}"""
-    val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}"""
-    println(json)
-    Files.writeString(Paths.get("bench.json"), json + "\n")
+    def writeArtifacts(stages: Seq[(String, Double, Double)],
+                       emitStdout: Boolean): Unit = {
+      val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}")
+      val stageJson = stages.map { case (k, ts, tb) =>
+        "\"" + k + f"""":{"sec_small":$ts%.2f,"sec_big":$tb%.2f,"speedup":${ts / tb}%.2f}"""
+      }.mkString("{", ",", "}")
+      val scaling =
+        f"""{"pipeline_docs":$nDocs,"cores_small":$nSmall,"cores_big":$nBig,""" +
+          f""""sec_small":$tSmall%.2f,"sec_big":$tBig%.2f,""" +
+          f""""docs_per_sec_small":$dpsSmall%.1f,"docs_per_sec_big":$dpsBig%.1f,""" +
+          f""""scaling_efficiency":$efficiency%.3f,"timed_pairs":$nPairs,""" +
+          f""""stage_docs":$nStage,"stages":$stageJson}"""
+      val json =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}"""
+      if (emitStdout) println(json)
+      Files.writeString(Paths.get("bench.json"), json + "\n")
+      writeBenchMd(stages)
+    }
 
-    val stageRows = stages.map { case (k, ts, tb) =>
-      f"|| $k | $ts%.2f | $tb%.2f | ${ts / tb}%.2f× |"
-    }.mkString("\n")
-    val bench =
+    def writeBenchMd(stages: Seq[(String, Double, Double)]): Unit = {
+      val stageRows = stages.map { case (k, ts, tb) =>
+        f"|| $k | $ts%.2f | $tb%.2f | ${ts / tb}%.2f× |"
+      }.mkString("\n")
+      val bench =
       f"""# BENCH — graft engine
          |
          |## Headline queries (local[$cpus], $sfDir)
@@ -259,6 +258,19 @@ object Bench {
          |construction (no collect-loops, no driver-side joins, no
          |unpartitioned state).
          |""".stripMargin
-    Files.writeString(Paths.get("BENCH.md"), bench)
+      Files.writeString(Paths.get("BENCH.md"), bench)
+    }
+
+    writeArtifacts(Seq.empty, emitStdout = false) // results-so-far safety net
+    val stages: Seq[(String, Double, Double)] =
+      if (elapsedSec > budgetSec * 0.85) {
+        System.err.println(f"[bench] budget: skipping per-stage table at $elapsedSec%.0f s")
+        Seq.empty
+      } else {
+        val small = stagedRun(nSmall, nStage).toMap
+        val big = stagedRun(nBig, nStage)
+        big.map { case (k, tb) => (k, small(k), tb) }
+      }
+    writeArtifacts(stages, emitStdout = true)
   }
 }

@@ -19,15 +19,30 @@ import org.apache.spark.storage.StorageLevel
   */
 object Caches {
 
+  // Strong references are required while a session lives (the frame is
+  // the unpersist handle), but a DataFrame strongly references its
+  // SparkSession, so entries must not rely on weak keys for cleanup —
+  // instead a context-stop listener drops a session's entry when the
+  // session dies (its cached blocks die with its block manager), so
+  // sessions stopped without release() cannot leak registry entries.
   private val tracked =
-    new java.util.WeakHashMap[SparkSession, mutable.Buffer[DataFrame]]
+    new java.util.HashMap[SparkSession, mutable.Buffer[DataFrame]]
 
   /** Persist `df` and remember it for [[release]]. */
   def track(df: DataFrame,
             level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
     synchronized {
       df.persist(level)
-      tracked.computeIfAbsent(df.sparkSession, _ => mutable.Buffer.empty) += df
+      val s = df.sparkSession
+      if (!tracked.containsKey(s)) {
+        tracked.put(s, mutable.Buffer.empty)
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            Caches.synchronized { tracked.remove(s) }
+        })
+      }
+      tracked.get(s) += df
       df
     }
 

@@ -202,7 +202,9 @@ object SparkEntry {
       val sigs = votes.select(F.col("doc_id"),
         (0 until 60).map(b => F.when(F.col(s"v$b") > 0, F.lit(1L << b)).otherwise(0L))
           .reduce(_ + _).as("sim"))
-      SimHashJoin.nearPairs(sigs, maxHamming = 3)
+      // chunk-posting cap pinned unbounded: the brute-force SQL oracle has
+      // no cap to mirror (production callers keep the default cap)
+      SimHashJoin.nearPairs(sigs, maxHamming = 3, maxChunkPostings = Long.MaxValue)
         .select(F.col("id_a").as("doc_a"), F.col("id_b").as("doc_b"),
           F.col("hamming").cast("long").as("hamming"))
     }),
@@ -220,8 +222,11 @@ object SparkEntry {
       // oracle below is sound because (a) the verify is exact and (b) the
       // only pairs ≥ 0.999 are planted identical copies (base corpus max
       // cross-cosine ~0.51), and identical vectors share every bucket.
+      // maxBucket is pinned unbounded HERE because the exact SQL oracle
+      // has no cap to mirror — production callers keep the default cap
+      // (skew spec: AnalysisSpec "degenerate hot bucket").
       Similarity.nearDupPairsBucketed(vecsWithCopies(s, dir), 0.999,
-        numPlanes = 6, probes = 2)),
+        numPlanes = 6, probes = 2, maxBucket = Int.MaxValue)),
 
     // --- similarity search ----------------------------------------------
     "q_embedding_top1" -> ((s, dir) =>
@@ -596,7 +601,7 @@ object SparkEntry {
       """SELECT doc_id,
         |       len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
         |       len(list_distinct(list_filter(string_split(text, ' '), x -> x != ''))) AS n_distinct,
-        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_est,
+        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS n_bpe_est,
         |       length(text) AS n_chars_seen
         |FROM documents""".stripMargin,
 
@@ -610,7 +615,7 @@ object SparkEntry {
          |            THEN floor(1000 * len(list_distinct(ws))::DOUBLE / len(ws))::BIGINT
          |       END AS diversity_pm,
          |       CASE WHEN length(text) > 0
-         |            THEN floor(1000 * len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+         |            THEN floor(1000 * len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]'))::DOUBLE
          |                       / length(text))::BIGINT
          |       END AS punct_pm,
          |       CASE WHEN len(ws) > 0

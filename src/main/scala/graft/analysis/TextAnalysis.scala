@@ -32,11 +32,16 @@ object TextAnalysis {
       F.floor(F.lit(1000) * distinctTokenCount(text) / t).cast("long"))
   }
 
+  /** Whitespace spelled as an explicit class: Java's `\s` and RE2's `\s`
+    * (DuckDB) disagree on vertical tab, so `\s` in an oracle-mirrored
+    * expression would diverge between engines on \x0B. */
+  private val Ws = " \\t\\n\\x0B\\f\\r"
+
   /** Punctuation density permille: floor(1000 · punct_chars / chars). */
   def punctPermille(text: Column): Column = {
     val n = F.length(text)
     F.when(n > 0,
-      F.floor(F.lit(1000) * F.regexp_count(text, F.lit("[^A-Za-z0-9\\s]")) / n)
+      F.floor(F.lit(1000) * F.regexp_count(text, F.lit(s"[^A-Za-z0-9$Ws]")) / n)
         .cast("long"))
   }
 
@@ -57,7 +62,7 @@ object TextAnalysis {
   /** A BPE-ish token estimate: words + digits runs + punctuation marks
     * (regexp-based; the whitespace count underestimates sub-word splits). */
   def tokenEstimateBpe(text: Column): Column =
-    F.regexp_count(text, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+    F.regexp_count(text, F.lit(s"[A-Za-z]+|[0-9]+|[^A-Za-z0-9$Ws]")).cast("long")
 
   /** Count of occurrences of a literal word (word-boundary regex). */
   def wordHits(text: Column, word: String): Column =

@@ -99,8 +99,11 @@ object DedupPipeline {
     * cannot be fabricated — is testable against synthetic doc_ids.
     * dupUrls is joined WITHOUT a broadcast hint: its size is bounded only
     * by contract compliance (a self-unioned crawl makes it corpus-sized),
-    * so the planner must stay free to shuffle-join it; `collided` is
-    * bounded by birthday math and safe to broadcast. */
+    * so the planner must stay free to shuffle-join it — under AQE (on in
+    * every engine session) the tiny-by-contract case still broadcasts at
+    * runtime and the wide rows never shuffle; the pathological case
+    * degrades to a url-keyed shuffle instead of an OOM. `collided` is
+    * bounded by birthday math and safe to force-broadcast. */
   private[dedup] def enforceIds(hashed: DataFrame, cfg: DedupConfig): DataFrame = {
     val perUrl = hashed.select("doc_id", "url")
       .groupBy("doc_id", "url").agg(F.count(F.lit(1)).as("nu"))

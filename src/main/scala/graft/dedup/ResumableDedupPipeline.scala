@@ -29,17 +29,23 @@ import graft.io.StageStore
   */
 object ResumableDedupPipeline {
 
-  /** Order-independent input identity + config hash. */
+  /** Order-independent input identity + config hash. The row hash covers
+    * url AND text (a recrawl with unchanged urls but new text must not
+    * resume against stale signatures), combined by count + xor + an
+    * overflow-proof decimal SUM (xor alone cancels rows repeated an even
+    * number of times). Costs one (url, text) projection scan per
+    * invocation — the price of resume safety. */
   private def fingerprint(pages: DataFrame, cfg: DedupConfig): String = {
     val row = pages
-      .select(F.xxhash64(F.col("url")).as("h"))
+      .select(F.xxhash64(F.col("url"), F.col("text")).as("h"))
       .agg(F.count(F.lit(1)).as("n"),
-        F.coalesce(F.expr("bit_xor(h)"), F.lit(0L)).as("x"))
+        F.coalesce(F.expr("bit_xor(h)"), F.lit(0L)).as("x"),
+        F.coalesce(F.sum(F.col("h").cast("decimal(38,0)")), F.lit(0L).cast("decimal(38,0)")).as("s"))
       .head()
     val cfgHash = java.security.MessageDigest.getInstance("MD5")
       .digest(cfg.toString.getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
-    s"cfg=$cfgHash rows=${row.getLong(0)} urlxor=${row.getLong(1)}"
+    s"cfg=$cfgHash rows=${row.getLong(0)} xor=${row.getLong(1)} sum=${row.getDecimal(2)}"
   }
 
   def run(pages: DataFrame, cfg: DedupConfig, store: StageStore): DedupResult = {

@@ -16,10 +16,14 @@ import org.apache.spark.sql.types.StringType
   * Contract: `cmd` must be a LINE-PRESERVING filter (one output line per
   * input line, e.g. `tr`, `sed -e s/…/…/`, a tokenizer): the stage zips
   * stdout lines back onto the partition's rows positionally and RAISES on
-  * count mismatch. Input values must not contain newlines (checked).
-  * Rows are queued while in flight, so memory per task is bounded by the
-  * filter's internal buffering (a streaming filter holds O(1) lines; a
-  * sorting filter would buffer the partition — don't use one).
+  * count mismatch. Input values must be non-null and newline-free
+  * (checked — a null or embedded newline would silently break the 1:1
+  * zip). Rows are queued while in flight, so memory per task is bounded
+  * by the filter's internal buffering (a streaming filter holds O(1)
+  * lines; a sorting filter would buffer the partition — don't use one).
+  * The child's stderr is drained concurrently (a chatty filter would
+  * otherwise fill the stderr pipe, stop reading stdin, and deadlock the
+  * task); its tail is attached to the exit-code error.
   */
 object ExternalProcess {
 
@@ -42,7 +46,9 @@ object ExternalProcess {
             new OutputStreamWriter(proc.getOutputStream, "UTF-8"))
           try {
             it.foreach { r =>
-              val v = if (r.isNullAt(idx)) "" else r.getString(idx)
+              require(!r.isNullAt(idx),
+                s"pipeLines: NULL value in '$inCol' — the 1:1 line contract cannot hold (filter nulls first)")
+              val v = r.getString(idx)
               require(!v.contains('\n'),
                 s"pipeLines: value in '$inCol' contains a newline — the 1:1 line contract cannot hold")
               pending.put(r)
@@ -53,6 +59,19 @@ object ExternalProcess {
         })
         writer.setDaemon(true)
         writer.start()
+        // drain stderr so a chatty filter can't fill the pipe and deadlock;
+        // keep the tail for diagnostics
+        val errTail = new java.util.concurrent.atomic.AtomicReference[String]("")
+        val errDrain = new Thread(() => {
+          val er = new BufferedReader(
+            new InputStreamReader(proc.getErrorStream, "UTF-8"))
+          try {
+            var l = er.readLine()
+            while (l != null) { errTail.set(l); l = er.readLine() }
+          } catch { case _: Throwable => () }
+        })
+        errDrain.setDaemon(true)
+        errDrain.start()
         val rd = new BufferedReader(
           new InputStreamReader(proc.getInputStream, "UTF-8"))
         new Iterator[Row] {
@@ -67,7 +86,8 @@ object ExternalProcess {
               val code = proc.waitFor()
               if (code != 0)
                 throw new IllegalStateException(
-                  s"external process '${cmdList.head}' exited with $code")
+                  s"external process '${cmdList.head}' exited with $code" +
+                    (if (errTail.get.nonEmpty) s"; last stderr: ${errTail.get}" else ""))
             }
             line != null
           }

@@ -154,10 +154,22 @@ object StreamingDedup {
           val wmMs = state.getCurrentWatermarkMs()
           var members = state.getOption.map(_.members).getOrElse(Array.empty)
             .filter(_.tsMs >= wmMs) // evict past-watermark members eagerly
-          val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._1))
+          // In-batch twin of maxBucketState: a mega-bucket burst within ONE
+          // micro-batch must degrade recall, never memory — keep only the
+          // batchCap smallest (ts, id) arrivals via a bounded max-heap
+          // (deterministic selection), instead of materializing them all.
+          val batchCap = maxBucketState * 4
+          val heap = scala.collection.mutable.PriorityQueue
+            .empty[(Long, Array[Long], java.sql.Timestamp)](
+              Ordering.by(r => (r._3.getTime, r._1)))
+          rows.foreach { case (id, mh, ts, _) =>
+            heap.enqueue((id, mh, ts))
+            if (heap.size > batchCap) heap.dequeue()
+          }
+          val sorted = heap.dequeueAll.reverse // ascending (ts, id)
           val out = Vector.newBuilder[StreamPair]
           val seenInBatch = scala.collection.mutable.HashSet.empty[(Long, Long)]
-          sorted.foreach { case (id, mh, ts, _) =>
+          sorted.foreach { case (id, mh, ts) =>
             members.foreach { m =>
               if (m.id != id) {
                 val j = estJ(m.minhash, mh)
