@@ -364,9 +364,11 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
+      // CAST(sum(..) AS BIGINT): DuckDB widens sum(BIGINT) to HUGEINT and
+      // the driver's hasher is representation-sensitive (values identical).
       """SELECT l_returnflag, l_linestatus,
-        |       sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sum_qty_cents,
-        |       sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sum_price_cents,
+        |       CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_price_cents,
         |       count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-31'
@@ -374,7 +376,7 @@ object SparkEntry {
 
     "q_join_agg" ->
       """SELECT n.n_name AS nation, count(*) AS n_orders,
-        |       sum(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS revenue_cents
+        |       CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM orders o
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -403,7 +405,7 @@ object SparkEntry {
 
     "q_events_agg" ->
       """SELECT event_type, count(*) AS n_events,
-        |       sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS sum_value_cents,
+        |       CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_value_cents,
         |       count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
 
@@ -506,8 +508,10 @@ object SparkEntry {
       // DuckDB replay of Similarity.rhpBucket: quantize components to
       // micro-units with floor(x*1e6 + 0.5) (bit-identical IEEE expression
       // in both engines), signs from the Lehmer LCG parity, bucket = packed
-      // projection sign bits; then 2..maxBucket bucket filter and the exact
-      // within-bucket cosine top-1 (ties by nn_id).
+      // projection sign bits; then 2..maxBucket bucket filter and the
+      // within-bucket top-1 ranked by the INTEGER dot of quantized unit
+      // vectors (ties by nn_id) — ranking key replayable bit-for-bit, no
+      // float near-tie nondeterminism.
       def proj(p: Int): String = {
         // two multiply+xorshift rounds in 31-bit lanes (overflow-safe in
         // DuckDB's checked BIGINT): mirrors Similarity.hashSign bit-for-bit
@@ -522,19 +526,24 @@ object SparkEntry {
       val bucket = (0 until annPlanes)
         .map(p => s"(CASE WHEN ${proj(p)} >= 0 THEN ${1L << p} ELSE 0 END)")
         .mkString(" + ")
-      s"""WITH e AS (
+      s"""WITH e0 AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS emb,
-         |         list_transform(embedding::DOUBLE[],
-         |                        x -> CAST(floor(x*1000000 + 0.5) AS BIGINT)) AS qv
+         |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
          |  FROM embeddings
          |  WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0
          |),
-         |b AS (SELECT vec_id, emb, $bucket AS bucket FROM e),
+         |e AS (
+         |  SELECT vec_id,
+         |         list_transform(emb, x -> CAST(floor(x*1000000 + 0.5) AS BIGINT)) AS qv,
+         |         list_transform(emb, x -> CAST(floor(x/nrm*1000000 + 0.5) AS BIGINT)) AS qu
+         |  FROM e0
+         |),
+         |b AS (SELECT vec_id, qu, $bucket AS bucket FROM e),
          |ok AS (SELECT bucket FROM b GROUP BY bucket
          |       HAVING count(*) BETWEEN 2 AND $annMaxBucket),
          |m AS (SELECT b.* FROM b JOIN ok USING (bucket)),
          |s AS (SELECT a.vec_id, c.vec_id AS nn_id,
-         |             list_cosine_similarity(a.emb, c.emb) AS cos
+         |             list_sum(list_transform(range(len(a.qu)), i -> a.qu[i+1] * c.qu[i+1])) AS cos
          |      FROM m a JOIN m c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
          |r AS (SELECT vec_id, nn_id,
          |             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) AS rk
@@ -545,38 +554,40 @@ object SparkEntry {
     "q_ann_ivf_top1" ->
       // DuckDB replay of Similarity.ivfTopK: centroids = smallest md5
       // rank, cells from the integer dot of quantized vector × quantized
-      // unit centroid, probes = top nProbe cells, exact cosine top-1
-      // within probed cells (ties by nn_id).
-      s"""WITH e AS (
+      // unit centroid, probes = top nProbe cells, top-1 within probed
+      // cells ranked by the INTEGER dot of quantized unit vectors (ties by
+      // nn_id) — ranking key replayable bit-for-bit, no float near-ties.
+      s"""WITH e0 AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS emb,
-         |         list_transform(embedding::DOUBLE[],
-         |                        x -> CAST(floor(x*1000000 + 0.5) AS BIGINT)) AS qv
+         |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
          |  FROM embeddings
          |  WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0),
+         |e AS (
+         |  SELECT vec_id,
+         |         list_transform(emb, x -> CAST(floor(x*1000000 + 0.5) AS BIGINT)) AS qv,
+         |         list_transform(emb, x -> CAST(floor(x/nrm*1000000 + 0.5) AS BIGINT)) AS qu
+         |  FROM e0),
          |c AS (
-         |  SELECT vec_id AS cid,
-         |         list_transform(emb, x -> CAST(floor(
-         |           x / sqrt(list_sum(list_transform(emb, y -> y*y))) * 1000000 + 0.5)
-         |           AS BIGINT)) AS qc
+         |  SELECT vec_id AS cid, qu AS qc
          |  FROM e
          |  ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id
          |  LIMIT $ivfCentroids),
          |s AS (
-         |  SELECT e.vec_id, e.emb, c.cid,
+         |  SELECT e.vec_id, e.qu, c.cid,
          |         list_sum(list_transform(range(len(e.qv)), i -> e.qv[i+1] * c.qc[i+1])) AS d
          |  FROM e CROSS JOIN c),
          |rc AS (
-         |  SELECT vec_id, emb, cid,
+         |  SELECT vec_id, qu, cid,
          |         row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS cr
          |  FROM s),
-         |assigned AS (SELECT vec_id, emb, cid AS cell FROM rc WHERE cr = 1),
+         |assigned AS (SELECT vec_id, qu, cid AS cell FROM rc WHERE cr = 1),
          |okcells AS (SELECT cell FROM assigned GROUP BY cell
          |            HAVING count(*) BETWEEN 1 AND $ivfMaxCell),
          |members AS (SELECT a.* FROM assigned a JOIN okcells USING (cell)),
-         |probes AS (SELECT vec_id, emb, cid AS cell FROM rc WHERE cr <= $ivfProbes),
+         |probes AS (SELECT vec_id, qu, cid AS cell FROM rc WHERE cr <= $ivfProbes),
          |cand AS (
          |  SELECT p.vec_id, m.vec_id AS nn_id,
-         |         list_cosine_similarity(p.emb, m.emb) AS cos
+         |         list_sum(list_transform(range(len(p.qu)), i -> p.qu[i+1] * m.qu[i+1])) AS cos
          |  FROM probes p JOIN members m ON p.cell = m.cell AND p.vec_id <> m.vec_id),
          |r AS (SELECT vec_id, nn_id,
          |             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) AS rk

@@ -182,6 +182,24 @@ object Similarity {
   private def quantized(emb: Column): Column =
     F.transform(emb, x => F.floor(x * 1000000.0d + 0.5d))
 
+  /** Unit vector quantized to integer micro-units — the ANN ranking key
+    * basis. Ranking by the INTEGER dot of quantized units (instead of a
+    * float cosine) makes the approximate operators' candidate ORDER — not
+    * just their candidate SET — bit-identically replayable in SQL: a
+    * float cosine near-tie within ~1 ulp can flip top-k under different
+    * rounding paths (Spark folds unit dots, DuckDB fuses
+    * list_cosine_similarity) and nondeterministically fail an otherwise
+    * exact oracle. Relative quantization error is ~1e-6·√dim — far below
+    * any meaningful similarity resolution, so recall is unaffected. */
+  private def quantizedUnit(emb: Column, nrm: Column): Column =
+    F.transform(emb, x => F.floor(x / nrm * 1000000.0d + 0.5d))
+
+  /** Integer dot product of two array<long> columns (micro-unit scale:
+    * ≤1e12 per component product — overflow-free up to ~9e6 dims even in
+    * overflow-checked engines). */
+  private def intDot(a: Column, b: Column): Column =
+    F.aggregate(F.zip_with(a, b, _ * _), F.lit(0L), _ + _)
+
   /** Random-hyperplane LSH bucket id (`numPlanes` sign bits packed), all
     * integer arithmetic: bit_p = sign of Σ_i quant(emb[i]) · hashSign(p,i).
     * `rep` selects an independent plane set for multi-probe. */
@@ -223,14 +241,15 @@ object Similarity {
   def lshTopK(embeddings: DataFrame, k: Int, numPlanes: Int = 8,
               probes: Int = 1, maxBucket: Int = 10000): DataFrame = {
     val members = eligibleMembers(prepared(embeddings), numPlanes, probes, maxBucket)
+      .withColumn("qu", quantizedUnit(F.col("emb"), F.col("nrm")))
     val a = members.select(F.col("rep"), F.col("bucket"), F.col("vec_id"),
-      F.col("emb").as("ea"), F.col("nrm").as("na"))
+      F.col("qu").as("qa"))
     val b = members.select(F.col("rep"), F.col("bucket"), F.col("vec_id").as("nn_id"),
-      F.col("emb").as("eb"), F.col("nrm").as("nb"))
+      F.col("qu").as("qb"))
     val scored = a.join(b, Seq("rep", "bucket"))
       .where(F.col("vec_id") =!= F.col("nn_id"))
       .select(F.col("vec_id"), F.col("nn_id"),
-        cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).as("cos"))
+        intDot(F.col("qa"), F.col("qb")).as("cos"))
       .distinct() // same candidate through several probes scores identically
     val w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc, F.col("nn_id"))
     scored.withColumn("rank", F.row_number().over(w))
@@ -315,26 +334,27 @@ object Similarity {
       }: _*))
     }
 
+    // ranking key = integer dot of quantized units (see [[quantizedUnit]]):
+    // candidate ORDER is bit-identically SQL-replayable, no float near-ties
     val unit = e.select(F.col("vec_id"), F.col("emb"),
-      F.transform(F.col("emb"), x => x / F.col("nrm")).as("unit"))
+      quantizedUnit(F.col("emb"), F.col("nrm")).as("qu"))
     val ranked = unit.withColumn("ranks", cellRanks(F.col("emb")))
-    val assigned = ranked.select(F.col("vec_id"), F.col("unit"),
+    val assigned = ranked.select(F.col("vec_id"), F.col("qu"),
       F.element_at(F.col("ranks"), 1).getField("cid").as("cell"))
     val capped = {
       val ok = assigned.groupBy("cell").count()
         .where(F.col("count").between(1, maxCell)).select("cell")
       assigned.join(ok.hint("shuffle_hash"), Seq("cell"))
     }
-    val probes = ranked.select(F.col("vec_id"), F.col("unit").as("qunit"),
+    val probes = ranked.select(F.col("vec_id"), F.col("qu").as("qq"),
       F.explode(F.slice(F.col("ranks"), 1, nProbe)).as("p"))
-      .select(F.col("vec_id"), F.col("qunit"), F.col("p").getField("cid").as("cell"))
+      .select(F.col("vec_id"), F.col("qq"), F.col("p").getField("cid").as("cell"))
     val cand = probes.join(
-      capped.select(F.col("cell"), F.col("vec_id").as("nn_id"), F.col("unit").as("cunit")),
+      capped.select(F.col("cell"), F.col("vec_id").as("nn_id"), F.col("qu").as("qc")),
       Seq("cell"))
       .where(F.col("vec_id") =!= F.col("nn_id"))
       .select(F.col("vec_id"), F.col("nn_id"),
-        F.aggregate(F.zip_with(F.col("qunit"), F.col("cunit"), _ * _),
-          F.lit(0.0), _ + _).as("cos"))
+        intDot(F.col("qq"), F.col("qc")).as("cos"))
     val w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc, F.col("nn_id"))
     cand.withColumn("rank", F.row_number().over(w))
       .where(F.col("rank") <= k)

@@ -24,10 +24,13 @@ final case class DedupConfig(
       * (boilerplate mega-buckets); dropped volume is reported in metrics.
       * The hot-bucket cap from SURVEY.md §4. */
     maxBucketSize: Int = 2000,
-    /** "window" (one shuffle; fine when mega-buckets are rare) or
-      * "salted" (two-phase salted size count — no task ever holds a hot
-      * bucket; use on boilerplate-heavy web corpora / real clusters). */
-    hotBucketStrategy: String = "window",
+    /** "salted" (default: two-phase salted size count — no task ever
+      * holds a hot bucket, the right posture for the boilerplate-heavy
+      * web corpora this engine targets) or "window" (one shuffle, but the
+      * window count co-locates a mega-bucket in ONE task before the cap
+      * filter — opt in only when mega-buckets are known rare). The two
+      * are output-identical (parity spec in LshSpec). */
+    hotBucketStrategy: String = "salted",
     /** Salt fan-out for the salted strategy's partial size aggregation. */
     saltBuckets: Int = 64,
     /** Winnowing window sizes for the exact-substring pass: any shared

@@ -136,11 +136,6 @@ object DedupPipeline {
       .where(F.col("_rn") === 1).drop("_rn")
   }
 
-  /** 8-bucket distance histograms over scored candidate pairs — the
-    * analog of the reference's mismatch-distance report counters
-    * (reference/dupliganger/constants.py:67-88, incremented at
-    * dedup.py:442-458): est-Jaccard bucket = min(floor(est·8), 7),
-    * SimHash-Hamming bucket = min(hamming, 7). */
   /** The 16 aggregate columns behind [[distanceHistograms]], exposed so
     * callers can fold them into an existing pass over the scored pairs
     * (one aggregation job instead of two). */
@@ -157,6 +152,11 @@ object DedupPipeline {
     (0 until 8).map(b => s"hist_est_jaccard_$b") ++
       (0 until 8).map(b => s"hist_sim_hamming_$b")
 
+  /** 8-bucket distance histograms over scored candidate pairs — the
+    * analog of the reference's mismatch-distance report counters
+    * (reference/dupliganger/constants.py:67-88, incremented at
+    * dedup.py:442-458): est-Jaccard bucket = min(floor(est·8), 7),
+    * SimHash-Hamming bucket = min(hamming, 7). */
   def distanceHistograms(scored: DataFrame): Seq[(String, Long)] = {
     val aggs = distanceHistogramAggs
     val row = scored.agg(aggs.head, aggs.tail: _*).head()
@@ -260,10 +260,18 @@ object DedupPipeline {
     // Report — consolidated into 4 aggregate jobs (one per cached stage),
     // not a count() per counter: at bench/cluster scale serial driver jobs
     // are pure Amdahl overhead.
-    val pagesTotal = pages.count()
     val sigStats = sigsAll.agg(
       F.count(F.lit(1)), F.count($"minhash")).head()
     val (docsSigned, docsAdmitted) = (sigStats.getLong(0), sigStats.getLong(1))
+    // pages_total derived, not re-scanned: a count() over the wide
+    // (html-bearing) source is a whole extra pass at 100 TB. The gate
+    // partition (admitted ∪ gateRejects) is total, so
+    // pagesTotal = docsSigned + Σ gate rejects; the reject aggregation is
+    // narrow (pruned to the gate-predicate columns — no html).
+    val gateRejectRows = gateRejects.groupBy($"reject_reason")
+      .agg(F.count(F.lit(1)).as("n")).collect()
+    val gateRejectCount = gateRejectRows.map(_.getLong(1)).sum
+    val pagesTotal = docsSigned + gateRejectCount
     // one pass over scored: counts + the 16 histogram buckets
     val pairAggs = Seq(
       F.count(F.lit(1)),
@@ -293,7 +301,9 @@ object DedupPipeline {
       "duplicates_removed" -> dupsRemoved,
       "lsh_overflow_buckets" -> o.getLong(0),
       "lsh_overflow_rows" -> o.getLong(1)
-    ).++(hists).toDF("metric", "value").orderBy("metric")
+    ).++(hists)
+      .++(gateRejectRows.map(r => s"reject_${r.getString(0)}" -> r.getLong(1)))
+      .toDF("metric", "value").orderBy("metric")
 
     DedupResult(flagged, deduped, duplicates, clusters, nearMisses, rejects, metrics)
   }

@@ -152,9 +152,14 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("minHash", this, classOf[MinHashSignature].getName)
+    // freshName: with a non-nullable child, nullSafeCodeGen inlines this
+    // body without a brace scope — a fixed local name would collide when
+    // the expression appears twice in one generated method (silent
+    // whole-stage fallback to interpreted eval).
+    val r = ctx.freshName("minhashRes")
     nullSafeCodeGen(ctx, ev, c => s"""
-      |org.apache.spark.sql.catalyst.util.ArrayData r = $ref.evalOrNull($c);
-      |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+      |org.apache.spark.sql.catalyst.util.ArrayData $r = $ref.evalOrNull($c);
+      |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
       |""".stripMargin)
   }
 

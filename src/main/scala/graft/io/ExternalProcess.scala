@@ -3,6 +3,7 @@ package graft.io
 import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
 import java.util.concurrent.LinkedBlockingQueue
 
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.types.StringType
 
@@ -39,9 +40,24 @@ object ExternalProcess {
       if (!it.hasNext) Iterator.empty[Row]
       else {
         val proc = new ProcessBuilder(cmdList: _*).start()
+        // Bind the child's lifetime to the TASK, not the iterator: if the
+        // output iterator is abandoned (downstream limit/take) or the task
+        // fails elsewhere, the completion listener reaps the process —
+        // otherwise children accumulate in a long-lived executor JVM.
+        val ctx = TaskContext.get()
+        if (ctx != null) ctx.addTaskCompletionListener[Unit] { _ =>
+          if (proc.isAlive) proc.destroyForcibly()
+          ()
+        }
         val pending = new LinkedBlockingQueue[Row]()
         @volatile var writeError: Throwable = null
         val writer = new Thread(() => {
+          // The writer consumes the upstream partition iterator off the
+          // task thread; memory-managed upstream iterators look up the
+          // TaskContext thread-local (NPE without it) — same propagation
+          // Spark's PipedRDD does in its stdin thread.
+          if (ctx != null)
+            org.apache.spark.graftshim.GraftCoreShim.propagateTaskContext(ctx)
           val w = new BufferedWriter(
             new OutputStreamWriter(proc.getOutputStream, "UTF-8"))
           try {
