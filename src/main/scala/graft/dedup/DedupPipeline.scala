@@ -8,6 +8,9 @@ import graft.functions._
   * files + report (reference/dupliganger/dedup.py:21-34, 677-803):
   *  - `flagged`   ≈ dups_flagged.sam: every admitted page + cluster id +
   *                  is_duplicate flag (the FLAG|=0x400 analog as a column)
+  *                  + nullable near-miss tag columns (near_miss_id /
+  *                  near_miss_est_jaccard / near_miss_hamming — the
+  *                  at-emission annotation append, dedup.py:765-776)
   *  - `deduped`   ≈ dups_removed.sam: anti-join of pages against losers
   *  - `duplicates`≈ duplicates.sam: the loser rows only
   *  - `clusters`  ≈ dup_groups.samlike: (url, cluster_id, is_canonical)
@@ -184,6 +187,33 @@ object DedupPipeline {
       .select("doc_id", "cluster_id", "is_canonical", "is_duplicate")
   }
 
+  /** Per-doc best near-miss tags from the scored-pair table — the analog
+    * of the reference appending tolerant-match annotations onto emitted
+    * rows (reference/dupliganger/dedup.py:765-776): for every doc that
+    * appears in a failed-verification pair, its closest miss
+    * (near_miss_id, near_miss_est_jaccard, near_miss_hamming), best =
+    * highest est-Jaccard, ties by lower Hamming then smaller partner id
+    * (deterministic across partitionings). Narrow ids+scores only — the
+    * emission join attaches it to wide rows without an extra wide
+    * shuffle (same doc_id key as the flag join). */
+  def nearMissTags(nearMisses: DataFrame): DataFrame = {
+    val cols = Seq("est_jaccard", "sim_hamming").map(F.col)
+    val dirA = nearMisses.select(
+      F.col("a").as("doc_id") +: F.col("b").as("nm_id") +: cols: _*)
+    val dirB = nearMisses.select(
+      F.col("b").as("doc_id") +: F.col("a").as("nm_id") +: cols: _*)
+    dirA.unionByName(dirB)
+      .groupBy("doc_id")
+      .agg(F.min_by(
+        F.struct(F.col("nm_id").as("near_miss_id"),
+          F.col("est_jaccard").as("near_miss_est_jaccard"),
+          F.col("sim_hamming").as("near_miss_hamming")),
+        F.struct((-F.col("est_jaccard")).as("k1"),
+          F.col("sim_hamming").as("k2"), F.col("nm_id").as("k3"))).as("best"))
+      .select(F.col("doc_id"), F.col("best.near_miss_id"),
+        F.col("best.near_miss_est_jaccard"), F.col("best.near_miss_hamming"))
+  }
+
   /** Verified near-dup edges (LSH ∪ substring): the CC input. */
   def dupEdges(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     val spark = sigs.sparkSession
@@ -247,8 +277,12 @@ object DedupPipeline {
     // shuffle_hash: the hash table builds from the narrow flags side and
     // the wide (html-bearing) rows stream through — sort-merge would sort
     // kilobytes of payload per row to equality-match an 8-byte id.
+    // Near-miss tags ride the same doc_id-keyed join (left: most docs
+    // have none) — emitted rows carry their closest-miss annotation, the
+    // reference's at-emission tag append (dedup.py:765-776).
     val flagged = graft.Caches.track(
-      admittedWide.join(flags.hint("shuffle_hash"), "doc_id"))
+      admittedWide.join(flags.hint("shuffle_hash"), "doc_id")
+        .join(nearMissTags(nearMisses).hint("shuffle_hash"), Seq("doc_id"), "left"))
 
     // Op5 — emission (reference write_output_files_pe: anti/semi routing)
     val deduped = flagged.where($"is_canonical")

@@ -81,14 +81,16 @@ object ResumableDedupPipeline {
       sigsAll.where($"minhash".isNull).select("doc_id"), Seq("doc_id"), "left_semi")
       .withColumn("reject_reason", F.lit("no_content"))
     val rejects = gateRejects.unionByName(noContent, allowMissingColumns = true)
+    val nearMisses = scored.where(!$"verified")
     // narrow side builds the hash table; wide rows stream (no payload sort)
     val flagged = admittedWide.join(flags.hint("shuffle_hash"), "doc_id")
+      .join(DedupPipeline.nearMissTags(nearMisses).hint("shuffle_hash"),
+        Seq("doc_id"), "left")
     val deduped = flagged.where($"is_canonical")
       .drop("is_canonical", "is_duplicate", "cluster_id")
     val duplicates = flagged.where($"is_duplicate")
       .drop("is_canonical", "is_duplicate")
     val clusters = flagged.select($"url", $"doc_id", $"cluster_id", $"is_canonical")
-    val nearMisses = scored.where(!$"verified")
 
     val flagStats = flags.agg(
       F.count(F.lit(1)),

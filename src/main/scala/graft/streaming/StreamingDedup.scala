@@ -17,6 +17,17 @@ final case class BucketMember(id: Long, minhash: Array[Long], tsMs: Long)
 /** Per-bucket streaming state: recent members within the watermark. */
 final case class BucketState(members: Array[BucketMember])
 
+/** One LSH-bucket member in the KEYED variant's state: id + event time
+  * only — the signature lives in the doc_id-keyed join state instead. */
+final case class IdMember(id: Long, tsMs: Long)
+
+/** Per-bucket ids-only streaming state ([[StreamingDedup.nearDupPairsStreamKeyed]]). */
+final case class BucketIdState(members: Array[IdMember])
+
+/** An unverified streaming candidate pair (id_a < id_b; ts = the newer
+  * member's event time). */
+final case class StreamCandidate(id_a: Long, id_b: Long, ts: java.sql.Timestamp)
+
 /** A verified streaming near-dup pair (id_a < id_b). */
 final case class StreamPair(id_a: Long, id_b: Long, est_jaccard: Double,
                             ts: java.sql.Timestamp)
@@ -192,5 +203,135 @@ object StreamingDedup {
           out.result().iterator
         }
     }
+  }
+
+  /** Estimated Jaccard between two equal-length MinHash signature columns:
+    * fraction of agreeing positions — the batch `Lsh.verifyPairs` formula
+    * as a single codegen'd expression. */
+  def estJaccardCol(a: org.apache.spark.sql.Column,
+                    b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    F.aggregate(F.zip_with(a, b, (x, y) => F.when(x === y, 1L).otherwise(0L)),
+      F.lit(0L), _ + _).cast("double") / F.size(a)
+
+  /** Streaming near-dup with the doc_id-KEYED signature store — the
+    * 10^12-docs/day layout. [[nearDupPairsStream]] holds the full
+    * `numHashes`-long signature once per band bucket (a `bands`× ≈ 32×
+    * state amplification); here the bucket operator's state is ids-only
+    * (16 bytes/member vs ~1 KiB) and signatures live in the doc_id-keyed
+    * state of two stream-stream verification joins — stored ~2× total,
+    * independent of `bands`:
+    *
+    *  1. CANDIDATES — `flatMapGroupsWithState` keyed by band bucket, state
+    *     = recent (doc_id, ts) members, same double bounding as the batch
+    *     cap discipline (event-time timeout + `maxBucketState` + in-batch
+    *     heap cap); emits unverified (id_a, id_b, ts) pairs.
+    *  2. VERIFY — the candidate stream re-watermarks on its `ts` and
+    *     equi-joins the signature stream twice (id_a, then id_b) under a
+    *     time-interval bound (signature ts within [cand ts − delay,
+    *     cand ts]), so join state evicts with the watermark; est-Jaccard
+    *     ≥ τ filters exactly as in the batch pass — verification
+    *     semantics are IDENTICAL to [[nearDupPairsStream]], only the
+    *     state layout differs.
+    *
+    * Same emission contract as [[nearDupPairsStream]]: a pair sharing
+    * several bands can emit once per shared band bucket; consumers
+    * needing distinct pairs dedupe downstream. Input contract as in the
+    * batch pipeline: url is THE document key — a url re-crawled within
+    * the watermark window fans out the verify joins (route re-crawls
+    * through ingest dedup first, as batch callers do via dedupeByUrl).
+    *
+    * REQUIRES `spark.sql.streaming.statefulOperator.checkCorrectness
+    * .enabled=false`: the analyzer flags ANY stateful operator after
+    * flatMapGroupsWithState because it cannot reason about emitted
+    * timestamps. Here the pattern is provably within the watermark
+    * contract: candidates are stamped with the NEWEST member's event
+    * time, and arrivals already behind the watermark are dropped inside
+    * the operator (below) — so no emitted row is ever older than the
+    * global watermark, and the joins can discard nothing that on-time
+    * data produced. */
+  def nearDupPairsStreamKeyed(docs: DataFrame, tsCol: String, watermark: String,
+                              cfg: DedupConfig = DedupConfig(),
+                              maxBucketState: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.{minhash, shingles}
+    val sigs = docs
+      .select(
+        F.xxhash64(F.lit(cfg.seed), F.col("url")).as("doc_id"),
+        minhash(shingles(F.col("text"), cfg.shingleK, cfg.seed),
+          cfg.numHashes, cfg.seed).as("minhash"),
+        F.col(tsCol).cast("timestamp").as("ts"))
+      .where(F.col("minhash").isNotNull)
+      .withWatermark("ts", watermark)
+
+    // ids-only bucket stream: the ONLY per-band replication is 16 bytes
+    val keyed = sigs
+      .select(F.col("doc_id"), F.col("ts"),
+        F.explode(Lsh.bandBuckets(F.col("minhash"), cfg.bands, cfg.rowsPerBand))
+          .as("bucket"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._3)
+
+    val candidates = keyed.flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (bucket: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+       state: GroupState[BucketIdState]) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val wmMs = state.getCurrentWatermarkMs()
+          var members = state.getOption.map(_.members).getOrElse(Array.empty)
+            .filter(_.tsMs >= wmMs)
+          val batchCap = maxBucketState * 4
+          val heap = scala.collection.mutable.PriorityQueue
+            .empty[(Long, java.sql.Timestamp)](Ordering.by(r => (r._2.getTime, r._1)))
+          // drop already-late arrivals HERE (fMGWS does not): emitted
+          // candidates then carry timestamps ≥ the global watermark, the
+          // invariant that makes the downstream joins lossless (scaladoc)
+          rows.foreach { case (id, ts, _) =>
+            if (ts.getTime >= wmMs) {
+              heap.enqueue((id, ts))
+              if (heap.size > batchCap) heap.dequeue()
+            }
+          }
+          val sorted = heap.dequeueAll.reverse // ascending (ts, id)
+          val out = Vector.newBuilder[StreamCandidate]
+          val seenInBatch = scala.collection.mutable.HashSet.empty[(Long, Long)]
+          sorted.foreach { case (id, ts) =>
+            members.foreach { m =>
+              if (m.id != id) {
+                val pair = (math.min(m.id, id), math.max(m.id, id))
+                if (seenInBatch.add(pair))
+                  out += StreamCandidate(pair._1, pair._2, ts)
+              }
+            }
+            if (!members.exists(_.id == id)) {
+              members = members :+ IdMember(id, ts.getTime)
+              if (members.length > maxBucketState)
+                members = members.sortBy(m => (-m.tsMs, m.id)).take(maxBucketState)
+            }
+          }
+          state.update(BucketIdState(members))
+          state.setTimeoutTimestamp(
+            math.max(wmMs + 1, members.map(_.tsMs).max), watermark)
+          out.result().iterator
+        }
+    }.toDF("id_a", "id_b", "cts")
+      // event-time is re-declared on the operator output so the verify
+      // joins downstream can evict their state (watermark propagation)
+      .withWatermark("cts", watermark)
+
+    val sa = sigs.select(F.col("doc_id").as("a_id"),
+      F.col("minhash").as("mh_a"), F.col("ts").as("ts_a"))
+    val sb = sigs.select(F.col("doc_id").as("b_id"),
+      F.col("minhash").as("mh_b"), F.col("ts").as("ts_b"))
+    candidates
+      .join(sa, F.col("id_a") === F.col("a_id") &&
+        F.expr(s"ts_a BETWEEN cts - INTERVAL $watermark AND cts"))
+      .join(sb, F.col("id_b") === F.col("b_id") &&
+        F.expr(s"ts_b BETWEEN cts - INTERVAL $watermark AND cts"))
+      .withColumn("est_jaccard", estJaccardCol(F.col("mh_a"), F.col("mh_b")))
+      .where(F.col("est_jaccard") >= cfg.tau)
+      .select(F.col("id_a"), F.col("id_b"), F.col("est_jaccard"),
+        F.col("cts").as("ts"))
   }
 }

@@ -89,6 +89,27 @@ class DedupPipelineSpec extends SparkSpec {
       result.rejects.count() === n)
   }
 
+  test("near-miss tags ride emission: flagged rows of near-miss docs carry their closest miss") {
+    val nm = result.nearMisses.select("a", "b", "est_jaccard").collect()
+      .flatMap(r => Seq(r.getLong(0) -> (r.getLong(1), r.getDouble(2)),
+        r.getLong(1) -> (r.getLong(0), r.getDouble(2))))
+    val bestEst = nm.groupBy(_._1).view.mapValues(_.map(_._2._2).max).toMap
+    val tagged = result.flagged
+      .select("doc_id", "near_miss_id", "near_miss_est_jaccard").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getDouble(2))))).toMap
+    // every doc in a near-miss pair is tagged with its best est-Jaccard...
+    bestEst.foreach { case (id, best) =>
+      assert(tagged.get(id).flatten.isDefined, s"doc $id lost its near-miss tag")
+      assert(tagged(id).get._2 === best,
+        s"doc $id tagged with ${tagged(id).get._2}, best miss is $best")
+    }
+    // ...and docs with no near miss stay untagged (left join, not inner)
+    val untagged = tagged.filter(_._2.isEmpty).keySet
+    assert(untagged.nonEmpty)
+    assert(untagged.intersect(bestEst.keySet).isEmpty)
+  }
+
   test("determinism: identical clusters across input partitionings") {
     val r2 = DedupPipeline.run(pages.repartition(17), cfg)
     val a = result.clusters.select("url", "cluster_id", "is_canonical")

@@ -99,4 +99,52 @@ class StreamingDedupSpec extends SparkSpec {
     val js = spark.table("near_out").collect().map(_.getAs[Double]("est_jaccard"))
     assert(js.forall(_ >= cfg.tau))
   }
+
+  test("nearDupPairsStreamKeyed: ids-only bucket state finds the same pairs as the signature-in-bucket variant") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.dedup.DedupConfig
+    import graft.io.SyntheticCorpus
+
+    def page(id: Long, min: Int): (String, String, Timestamp) = {
+      val p = SyntheticCorpus.pageAt(42L, id)
+      (p.url, p.text, ts(min))
+    }
+    val cfg = DedupConfig(allowedLangs = None)
+    val input = MemoryStream[(String, String, Timestamp)]
+    val docs = input.toDF().toDF("url", "text", "ts")
+    // required by the operator (see its scaladoc): the analyzer flags any
+    // stateful op after fMGWS; the operator upholds the watermark contract
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    spark.conf.set(checkKey, "false")
+    try {
+      val q = StreamingDedup.nearDupPairsStreamKeyed(docs, "ts", "30 minutes", cfg)
+        .writeStream.format("memory").queryName("near_keyed_out")
+        .outputMode("append").start()
+
+      input.addData(page(11, 0), page(13, 1), page(0, 1), page(1, 2))
+      q.processAllAvailable()
+      // dups arrive in LATER micro-batches → candidates via ids-only bucket
+      // state, signatures recovered through the doc_id-keyed join state
+      input.addData(page(16, 3), page(14, 4))
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set(checkKey, "true")
+
+    val rows = spark.table("near_keyed_out").collect()
+    val ids = rows.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val hash = Seq(11L, 13L, 16L, 14L).map { i =>
+      i -> spark.sql(
+        s"SELECT xxhash64(${cfg.seed}L, '${SyntheticCorpus.pageAt(42L, i).url}')")
+        .head().getLong(0)
+    }.toMap
+    def pair(a: Long, b: Long) =
+      (math.min(hash(a), hash(b)), math.max(hash(a), hash(b)))
+    assert(ids.contains(pair(11, 16)), s"missing near pair in $ids")
+    assert(ids.contains(pair(13, 14)), s"missing exact pair in $ids")
+    assert(ids.size === 2, s"unexpected extra pairs: $ids")
+    val js = rows.map(_.getAs[Double]("est_jaccard"))
+    assert(js.forall(_ >= cfg.tau))
+  }
 }
