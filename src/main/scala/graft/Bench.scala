@@ -32,13 +32,29 @@ import graft.io.SyntheticCorpus
   */
 object Bench {
 
-  private def session(cores: Int): SparkSession = {
+  /** Per-run spill totals — the falsifiability evidence for the
+    * memory-fraction fairness adjustment (a memory-starved level would
+    * show it here as spill bytes). */
+  private final class SpillListener extends org.apache.spark.scheduler.SparkListener {
+    val mem = new java.util.concurrent.atomic.AtomicLong
+    val disk = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) { mem.addAndGet(m.memoryBytesSpilled); disk.addAndGet(m.diskBytesSpilled) }
+    }
+  }
+
+  /** memory.fraction holding Spark memory PER CORE constant across levels
+    * (0.6 at 8 cores) — the cluster-emulation fairness adjustment. */
+  private def scaledFraction(cores: Int): Double =
+    math.max(0.1, math.min(0.6, 0.6 * cores / 8.0))
+
+  private def session(cores: Int, fraction: Double): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
     Files.createDirectories(Paths.get(localDir))
-    // hold Spark memory per core constant across levels (0.6 at 8 cores)
-    val fraction = math.max(0.1, math.min(0.6, 0.6 * cores / 8.0))
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
@@ -69,49 +85,65 @@ object Bench {
     res.cleanup()
   }
 
-  /** One timed end-to-end flagship run at a core count (fresh session;
-    * session startup excluded from the timing; optional small warmup for
-    * JIT + codegen caches — both are JVM-global, so one warmup per JVM
-    * suffices across sessions). */
-  private def timedRun(cores: Int, nDocs: Long, warmup: Boolean): Double = {
-    val spark = session(cores)
+  /** (wall sec, spilled MiB) of one end-to-end flagship run at a core
+    * count (fresh session; session startup excluded from the timing;
+    * optional small warmup for JIT + codegen caches — both are JVM-global,
+    * so one warmup per JVM suffices across sessions). */
+  private def timedRun(cores: Int, nDocs: Long, warmup: Boolean,
+                       fraction: Double): (Double, Double) = {
+    val spark = session(cores, fraction)
     if (warmup) runPipeline(spark, math.max(1000L, nDocs / 20))
     spark.catalog.clearCache()
+    val spills = new SpillListener
+    spark.sparkContext.addSparkListener(spills)
     val t0 = System.nanoTime()
     runPipeline(spark, nDocs)
     val t = (System.nanoTime() - t0) / 1e9
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    t
+    (t, (spills.mem.get + spills.disk.get) / 1048576.0)
+  }
+
+  /** Result of one min-of-N scaling measurement at a (small, big) level
+    * pair: best walls, the spill observed on those best runs, pair count. */
+  private final case class ScalingResult(
+      tSmall: Double, spillSmall: Double,
+      tBig: Double, spillBig: Double, pairs: Int) {
+    def efficiency(nSmall: Int, nBig: Int): Double =
+      (tSmall / tBig) / (nBig.toDouble / nSmall)
   }
 
   /** Min-of-N e2e walls at both levels, alternating small/big pairs until
-    * the budget says stop (2..4 pairs). This VM shows one-sided ±50%
+    * the budget says stop (2..maxPairs). This VM shows one-sided ±50%
     * CPU-steal noise on shuffle stages; the MINIMUM is the
     * least-contended, most hardware-faithful sample, and alternating
     * levels keeps a noisy episode from biasing one level only. */
-  private def scalingRuns(nSmall: Int, nBig: Int, nDocs: Long): (Double, Double, Int) = {
-    var tS = timedRun(nSmall, nDocs, warmup = true)
-    var tB = timedRun(nBig, nDocs, warmup = false)
+  private def scalingRuns(nSmall: Int, nBig: Int, nDocs: Long,
+                          fracOf: Int => Double, warmupFirst: Boolean,
+                          maxPairs: Int): ScalingResult = {
+    var (tS, spS) = timedRun(nSmall, nDocs, warmup = warmupFirst, fracOf(nSmall))
+    var (tB, spB) = timedRun(nBig, nDocs, warmup = false, fracOf(nBig))
     var pairs = 1
-    while (pairs < 4 &&
+    while (pairs < maxPairs &&
       elapsedSec + (tS + tB) * 1.1 < budgetSec * 0.85) {
-      tS = math.min(tS, timedRun(nSmall, nDocs, warmup = false))
-      tB = math.min(tB, timedRun(nBig, nDocs, warmup = false))
+      val (tS2, spS2) = timedRun(nSmall, nDocs, warmup = false, fracOf(nSmall))
+      if (tS2 < tS) { tS = tS2; spS = spS2 }
+      val (tB2, spB2) = timedRun(nBig, nDocs, warmup = false, fracOf(nBig))
+      if (tB2 < tB) { tB = tB2; spB = spB2 }
       pairs += 1
     }
     if (pairs == 1)
       System.err.println(
         f"[bench] budget ($budgetSec%.0f s): single pair of timed runs only")
-    (tS, tB, pairs)
+    ScalingResult(tS, spS, tB, spB, pairs)
   }
 
   /** Per-stage wall times of one decomposed pipeline pass (stage list
     * mirrors graft.examples.StageProbe / DedupPipeline.run's op order;
     * each stage is forced by a count so its wall time is attributable). */
   private def stagedRun(cores: Int, n: Long): Seq[(String, Double)] = {
-    val spark = session(cores)
+    val spark = session(cores, scaledFraction(cores))
     import spark.implicits._
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def tick(label: String)(f: => Long): Unit = {
@@ -147,10 +179,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "300000").toLong
+    // 250k: large enough that per-doc work dwarfs fixed overhead (walls
+    // ~2 min at local[2]), small enough that 2 main pairs + the per-stage
+    // table + the const-fraction control pair all fit the driver budget
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "250000").toLong
 
     // -- 1. headline queries ------------------------------------------------
-    val spark = session(cpus)
+    val spark = session(cpus, 0.6)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -171,8 +206,10 @@ object Bench {
     // and heap in proportion, which local mode cannot emulate.
     val nSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
     val nBig = sys.env.getOrElse("SPARK_GRAFT_SCALE_4N", "8").toInt
-    val (tSmall, tBig, nPairs) = scalingRuns(nSmall, nBig, nDocs)
-    val efficiency = (tSmall / tBig) / (nBig.toDouble / nSmall)
+    val main = scalingRuns(nSmall, nBig, nDocs, scaledFraction,
+      warmupFirst = true, maxPairs = 2)
+    val (tSmall, tBig, nPairs) = (main.tSmall, main.tBig, main.pairs)
+    val efficiency = main.efficiency(nSmall, nBig)
     val dpsSmall = nDocs / tSmall
     val dpsBig = nDocs / tBig
 
@@ -183,26 +220,39 @@ object Bench {
     val nStage = math.max(50000L, nDocs / 5)
 
     def writeArtifacts(stages: Seq[(String, Double, Double)],
+                       control: Option[ScalingResult],
                        emitStdout: Boolean): Unit = {
       val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
         .mkString("{", ",", "}")
       val stageJson = stages.map { case (k, ts, tb) =>
         "\"" + k + f"""":{"sec_small":$ts%.2f,"sec_big":$tb%.2f,"speedup":${ts / tb}%.2f}"""
       }.mkString("{", ",", "}")
+      val controlJson = control.map { c =>
+        f""""constant_fraction_control":{"fraction":0.6,""" +
+          f""""sec_small":${c.tSmall}%.2f,"sec_big":${c.tBig}%.2f,""" +
+          f""""scaling_efficiency":${c.efficiency(nSmall, nBig)}%.3f,""" +
+          f""""spill_small_mb":${c.spillSmall}%.1f,"spill_big_mb":${c.spillBig}%.1f,""" +
+          f""""timed_pairs":${c.pairs}},"""
+      }.getOrElse("")
       val scaling =
         f"""{"pipeline_docs":$nDocs,"cores_small":$nSmall,"cores_big":$nBig,""" +
           f""""sec_small":$tSmall%.2f,"sec_big":$tBig%.2f,""" +
           f""""docs_per_sec_small":$dpsSmall%.1f,"docs_per_sec_big":$dpsBig%.1f,""" +
           f""""scaling_efficiency":$efficiency%.3f,"timed_pairs":$nPairs,""" +
+          f""""mem_fraction_small":${scaledFraction(nSmall)}%.3f,""" +
+          f""""mem_fraction_big":${scaledFraction(nBig)}%.3f,""" +
+          f""""spill_small_mb":${main.spillSmall}%.1f,"spill_big_mb":${main.spillBig}%.1f,""" +
+          controlJson +
           f""""stage_docs":$nStage,"stages":$stageJson}"""
       val json =
         f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}"""
       if (emitStdout) println(json)
       Files.writeString(Paths.get("bench.json"), json + "\n")
-      writeBenchMd(stages)
+      writeBenchMd(stages, control)
     }
 
-    def writeBenchMd(stages: Seq[(String, Double, Double)]): Unit = {
+    def writeBenchMd(stages: Seq[(String, Double, Double)],
+                     control: Option[ScalingResult]): Unit = {
       val stageRows = stages.map { case (k, ts, tb) =>
         f"|| $k | $ts%.2f | $tb%.2f | ${ts / tb}%.2f× |"
       }.mkString("\n")
@@ -226,15 +276,32 @@ object Bench {
          |timed runs per level, `spark.memory.fraction` scaled to hold
          |memory-per-core constant:
          |
-         || parallelism | wall sec | docs/sec |
-         ||---|---|---|
-         || local[$nSmall] | $tSmall%.2f | $dpsSmall%.1f |
-         || local[$nBig] | $tBig%.2f | $dpsBig%.1f |
+         || parallelism | wall sec | docs/sec | mem.fraction | spilled MiB |
+         ||---|---|---|---|---|
+         || local[$nSmall] | $tSmall%.2f | $dpsSmall%.1f | ${scaledFraction(nSmall)}%.3f | ${main.spillSmall}%.1f |
+         || local[$nBig] | $tBig%.2f | $dpsBig%.1f | ${scaledFraction(nBig)}%.3f | ${main.spillBig}%.1f |
          |
          |**Scaling efficiency (T_N / T_4N) / 4 = $efficiency%.3f**
          |(this VM shows one-sided ±50%% run-to-run noise from CPU steal on
          |shuffle stages; taking the min over $nPairs alternating pairs
          |bounds, not removes, that exposure).
+         |
+         |${control.map { c =>
+           // margins match the enclosing stripMargin (no inner strip)
+           f"""CONTROL — same pair at CONSTANT `spark.memory.fraction = 0.6`
+         |(the fairness adjustment removed; the small level gets MORE
+         |memory per core than a real cluster would give it), min of
+         |${c.pairs} pair(s):
+         |
+         || parallelism | wall sec | spilled MiB |
+         ||---|---|---|
+         || local[$nSmall] | ${c.tSmall}%.2f | ${c.spillSmall}%.1f |
+         || local[$nBig] | ${c.tBig}%.2f | ${c.spillBig}%.1f |
+         |
+         |**Constant-fraction efficiency = ${c.efficiency(nSmall, nBig)}%.3f.**
+         |The spill columns are the starve-detector: memory pressure at
+         |either level would surface there before it bends wall time."""
+         }.getOrElse("(constant-fraction control pair skipped: bench budget)")}
          |
          |### Per-stage $nSmall→$nBig speedup ($nStage docs)
          |
@@ -261,7 +328,7 @@ object Bench {
       Files.writeString(Paths.get("BENCH.md"), bench)
     }
 
-    writeArtifacts(Seq.empty, emitStdout = false) // results-so-far safety net
+    writeArtifacts(Seq.empty, None, emitStdout = false) // results-so-far safety net
     val stages: Seq[(String, Double, Double)] =
       if (elapsedSec > budgetSec * 0.85) {
         System.err.println(f"[bench] budget: skipping per-stage table at $elapsedSec%.0f s")
@@ -271,6 +338,20 @@ object Bench {
         val big = stagedRun(nBig, nStage)
         big.map { case (k, tb) => (k, small(k), tb) }
       }
-    writeArtifacts(stages, emitStdout = true)
+    writeArtifacts(stages, None, emitStdout = false)
+
+    // -- 4. constant-fraction CONTROL pair: both levels at fraction 0.6
+    // (the fairness adjustment removed — the small level now gets MORE
+    // memory per core than a real cluster would give it). If the
+    // criterion still passes here, the adjustment did not manufacture the
+    // headline number; the spill columns show whether either level was
+    // ever memory-starved. Last in the budget order: the headline +
+    // per-stage evidence above is already on disk.
+    val control: Option[ScalingResult] =
+      if (elapsedSec + (tSmall + tBig) * 1.1 < budgetSec * 0.97)
+        Some(scalingRuns(nSmall, nBig, nDocs, _ => 0.6,
+          warmupFirst = false, maxPairs = 2))
+      else { System.err.println("[bench] budget: skipping const-fraction control pair"); None }
+    writeArtifacts(stages, control, emitStdout = true)
   }
 }

@@ -62,6 +62,9 @@ object SparkEntry {
   private val ivfProbes = 2
   private val ivfMaxCell = 1000000
 
+  /** q_window_quality token window — mirrored in its oracle SQL. */
+  private val qualityWin = 8
+
   private val dupSqlDocs =
     """SELECT doc_id, text FROM documents
       |UNION ALL
@@ -286,6 +289,13 @@ object SparkEntry {
         TextAnalysis.stopwordPermille(F.col("text")).as("stopword_pm"),
         (F.length(F.col("text")) === F.col("n_chars")).as("len_matches_meta"),
         (TextAnalysis.tokenCount(F.col("text")) >= 20).as("len_ok"))),
+
+    "q_window_quality" -> ((s, dir) =>
+      // sliding-window minimum alpha-density (P8's literal analog — see
+      // TextAnalysis.windowedMinQualityPermille): all-integer permille,
+      // posexplode + running-sum window, one shuffle on doc_id
+      TextAnalysis.windowedMinQualityPermille(
+        docs(s, dir).select("doc_id", "text"), qualityWin)),
 
     "q_langid" -> ((s, dir) => {
       val scores = TextAnalysis.langScores(F.col("text")).toMap
@@ -637,6 +647,23 @@ object SparkEntry {
          |       len(ws) >= 20 AS len_ok
          |FROM t""".stripMargin
     },
+
+    "q_window_quality" ->
+      // list_sum of BIGINT lists widens to HUGEINT in DuckDB → the final
+      // CAST keeps the hash representation-aligned with Spark's BIGINT
+      s"""WITH t AS (SELECT doc_id,
+         |                  list_filter(string_split(text, ' '), x -> x != '') AS ws
+         |           FROM documents),
+         |tt AS (SELECT doc_id, len(ws) AS nt,
+         |              list_transform(ws, w -> len(regexp_extract_all(w, '[A-Za-z]'))::BIGINT) AS a,
+         |              list_transform(ws, w -> length(w)::BIGINT) AS l
+         |       FROM t WHERE len(ws) >= 1)
+         |SELECT doc_id,
+         |       CAST(list_min(list_transform(range(1, greatest(nt - $qualityWin, 0) + 2),
+         |         s -> (1000 * list_sum(list_slice(a, s, s + $qualityWin - 1)))
+         |              // list_sum(list_slice(l, s, s + $qualityWin - 1)))) AS BIGINT)
+         |         AS min_window_quality_pm
+         |FROM tt""".stripMargin,
 
     "q_langid" ->
       """WITH h AS (

@@ -288,6 +288,51 @@ object Similarity {
     F.conv(F.substring(F.md5(F.encode(id.cast("string"), "UTF-8")), 1, 15), 16, 10)
       .cast("long")
 
+  /** Lloyd refinement of a quantized-unit codebook: `rounds` iterations of
+    * assign-to-best-cell (integer dot, ties → smaller cid) + recenter on
+    * the member mean, re-normalized and re-quantized. Cell ids stay the
+    * sampled ids (stable tie ordering); a cell that loses all members
+    * keeps its previous centroid. The member-mean aggregation goes through
+    * (cell, component) partial sums — map-side combine caps the shuffle at
+    * C·dim rows per task, so a round's cost is one scan regardless of
+    * corpus size. Float means make refined centroids deterministic only up
+    * to summation order — production path, not oracle-replayable. */
+  private def refineCentroids(e: DataFrame, init: Array[(Long, Array[Long])],
+                              rounds: Int): Array[(Long, Array[Long])] = {
+    if (rounds <= 0) return init
+    val spark = e.sparkSession
+    import spark.implicits._
+    var cents = init
+    val withQv = e.select(F.col("vec_id"),
+      F.transform(F.col("emb"), x => x / F.col("nrm")).as("u"),
+      quantized(F.col("emb")).as("qv"))
+    for (_ <- 1 to rounds) {
+      val best = F.element_at(F.array_sort(F.array(cents.map { case (cid, qc) =>
+        F.struct(
+          (-intDot(F.col("qv"), F.typedLit(qc))).as("nd"),
+          F.lit(cid).as("cid"))
+      }: _*)), 1).getField("cid")
+      val sums = withQv.withColumn("cell", best)
+        .select(F.col("cell"), F.posexplode(F.col("u")).as(Seq("i", "v")))
+        .groupBy("cell", "i")
+        .agg(F.sum("v").as("s"), F.count(F.lit(1)).as("c"))
+        .as[(Long, Int, Double, Long)].collect()
+      val byCell = sums.groupBy(_._1)
+      cents = cents.map { case (cid, qc) =>
+        byCell.get(cid) match {
+          case Some(rows) =>
+            val mean = new Array[Double](qc.length)
+            rows.foreach { case (_, i, s, c) => mean(i) = s / c }
+            val nrm = math.sqrt(mean.map(x => x * x).sum)
+            if (nrm == 0.0) (cid, qc)
+            else (cid, mean.map(x => math.floor(x / nrm * 1000000.0 + 0.5).toLong))
+          case None => (cid, qc) // empty cell: keep previous centroid
+        }
+      }
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate top-k — the codebook-based scale
     * path, complementing the hash-based [[lshTopK]]:
     *
@@ -309,19 +354,31 @@ object Similarity {
     *     degenerate cells).
     *
     * Output columns and tie rule match [[bruteForceTopK]]; recall < 1 by
-    * design and rises with `nProbe`. */
+    * design and rises with `nProbe`.
+    *
+    * `lloydRounds` > 0 runs that many Lloyd refinement iterations on the
+    * sampled codebook before building the index (assign all vectors to
+    * their best cell, recenter each cell on the mean of its members,
+    * re-normalize): recall per probe rises because cells track the data
+    * distribution instead of a random sample. Each round costs one
+    * assignment scan + a (cell, component) partial-sum aggregation whose
+    * shuffle is ≤ C·dim rows per task — corpus-size-independent. The
+    * refined path is production-only (float means are not SQL-replayable;
+    * the oracle pins lloydRounds = 0). */
   def ivfTopK(embeddings: DataFrame, k: Int, numCentroids: Int = 16,
-              nProbe: Int = 2, maxCell: Int = 1000000): DataFrame = {
+              nProbe: Int = 2, maxCell: Int = 1000000,
+              lloydRounds: Int = 0): DataFrame = {
     val e = prepared(embeddings)
     val spark = e.sparkSession
     import spark.implicits._
     // codebook: C·dim quantized unit centroids — corpus-size-independent
-    val cents = e.select(F.col("vec_id"), F.col("emb"), F.col("nrm"))
+    val sample = e.select(F.col("vec_id"), F.col("emb"), F.col("nrm"))
       .withColumn("rk", md5Rank(F.col("vec_id")))
       .orderBy("rk", "vec_id").limit(numCentroids)
       .select(F.col("vec_id"),
         F.transform(F.col("emb"), x => F.floor(x / F.col("nrm") * 1000000.0d + 0.5d)).as("qc"))
       .as[(Long, Array[Long])].collect().sortBy(_._1)
+    val cents = refineCentroids(e, sample, lloydRounds)
 
     // cell ranking per vector: integer dot vs every centroid, best first
     // (sort key (-dot, cid) so array_sort ascending = dot desc, id asc)

@@ -1,6 +1,7 @@
 package graft.analysis
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{functions => F}
 
 /** Text-analysis column builders for training-data pipelines: token
@@ -87,4 +88,43 @@ object TextAnalysis {
     * reference's location_key analog at its crudest.) */
   def fingerprint(text: Column): Column =
     F.md5(F.trim(F.regexp_replace(F.lower(text), "\\s+", " ")).cast("binary"))
+
+  /** Sliding-window minimum quality — the LITERAL analog of the
+    * reference's windowed quality filter (reference/dupliganger/
+    * barcode_split_quality_filter_umi_anno.py:378-403: mean phred over a
+    * sliding window, reject when the minimum window mean drops below a
+    * floor). Here the per-token score is its alphabetic-character count,
+    * the window statistic is the alpha-density permille of `win`
+    * consecutive tokens, and the document score is the MINIMUM over all
+    * window starts — a run of `win` garbage tokens tanks the score no
+    * matter how clean the rest of the page is (the property doc-level
+    * densities cannot see). Docs with fewer than `win` tokens score their
+    * single all-token window; docs with no tokens are absent from the
+    * output.
+    *
+    * All-integer arithmetic ((1000·Σalpha) div Σchars) — exactly
+    * SQL-replayable, no float rounding. Shape: posexplode + running-sum
+    * window + min aggregation — one shuffle on `idCol`, each token row
+    * touched once (the nested-HOF form recomputes every window slice and
+    * is quadratic in `win`; see the CollapseProject note in
+    * SparkEntry's q_winnow_fingerprints). */
+  def windowedMinQualityPermille(docs: DataFrame, win: Int,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text"): DataFrame = {
+    require(win >= 1, s"win must be >= 1, got $win")
+    val w = Window.partitionBy(idCol).orderBy("i")
+      .rowsBetween(Window.currentRow, win - 1)
+    docs.select(F.col(idCol), tokens(F.col(textCol)).as("ws"))
+      .where(F.size(F.col("ws")) >= 1)
+      .select(F.col(idCol), F.size(F.col("ws")).as("nt"),
+        F.posexplode(F.col("ws")).as(Seq("i", "tok")))
+      .select(F.col(idCol), F.col("nt"), F.col("i"),
+        F.length(F.col("tok")).cast("long").as("l"),
+        F.regexp_count(F.col("tok"), F.lit("[A-Za-z]")).cast("long").as("a"))
+      .withColumn("wa", F.sum("a").over(w))
+      .withColumn("wl", F.sum("l").over(w))
+      .where(F.col("i") <= F.greatest(F.col("nt") - win, F.lit(0)))
+      .select(F.col(idCol), F.expr("(1000 * wa) div wl").as("q"))
+      .groupBy(idCol).agg(F.min("q").as("min_window_quality_pm"))
+  }
 }

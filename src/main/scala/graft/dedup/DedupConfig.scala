@@ -63,6 +63,15 @@ final case class DedupConfig(
     allowedLangs: Option[Set[String]] = None,
     /** Minimum text length (chars) past the quality gate. */
     minTextChars: Int = 1,
+    /** Sliding-window quality floor (permille, 0 = off): reject docs whose
+      * minimum `qualityWin`-token window alpha-density drops below this —
+      * the literal analog of the reference's windowed quality filter
+      * (barcode_split_quality_filter_umi_anno.py:378-403). Enabling costs
+      * one narrow token-explode aggregation plus a doc_id join of the
+      * (small) low-quality id set back onto the gate. */
+    minWindowQualityPm: Int = 0,
+    /** Token window size for [[minWindowQualityPm]]. */
+    qualityWin: Int = 8,
     /** Engine seed (shingles/minhash/simhash). */
     seed: Long = HashUtil.DefaultSeed,
     /** Canonical-winner ranking seed — role of the reference's

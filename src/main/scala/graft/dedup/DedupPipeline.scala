@@ -84,8 +84,25 @@ object DedupPipeline {
       // three-valued (NULL lang → NULL), so compare null-safely to true
       .when(F.not(langOk <=> F.lit(true)), "lang")
     val gated = base.withColumn("reject_reason", reason).drop("dup_url")
-    val rejects = gated.where(F.col("reject_reason").isNotNull)
-    val admitted = gated.where(F.col("reject_reason").isNull).drop("reject_reason")
+    val rowRejects = gated.where(F.col("reject_reason").isNotNull)
+    val rowAdmitted = gated.where(F.col("reject_reason").isNull).drop("reject_reason")
+    // windowed-quality gate (off by default): the low-quality id set is
+    // narrow (ids of failing docs only) and routes via doc_id joins — AQE
+    // broadcasts it when small, the common case
+    val (admitted, rejects) =
+      if (cfg.minWindowQualityPm <= 0) (rowAdmitted, rowRejects)
+      else {
+        val lowQ = graft.analysis.TextAnalysis
+          .windowedMinQualityPermille(
+            rowAdmitted.select("doc_id", "text"), cfg.qualityWin)
+          .where(F.col("min_window_quality_pm") < cfg.minWindowQualityPm)
+          .select("doc_id")
+        val qualityRejects = rowAdmitted
+          .join(lowQ, Seq("doc_id"), "left_semi")
+          .withColumn("reject_reason", F.lit("low_quality"))
+        (rowAdmitted.join(lowQ, Seq("doc_id"), "left_anti"),
+          rowRejects.unionByName(qualityRejects))
+      }
     val sigsAll = admitted
       .withColumn("shingles", shingles(F.col("text"), cfg.shingleK, cfg.seed))
       .withColumn("minhash", minhash(F.col("shingles"), cfg.numHashes, cfg.seed))

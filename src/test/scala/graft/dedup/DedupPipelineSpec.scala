@@ -138,6 +138,28 @@ class DedupPipelineSpec extends SparkSpec {
     assert(ej(6) + ej(7) >= m("verified_pairs"))
   }
 
+  test("windowed-quality gate: garbage-run docs route to rejects('low_quality')") {
+    val spark2 = spark
+    import spark2.implicits._
+    val now = new java.sql.Timestamp(1700000000000L)
+    val rows = Seq(
+      ("https://q.example/clean", "perfectly clean english prose with many good alpha words here", "en"),
+      ("https://q.example/spam", "good start then 00 11 22 33 44 55 66 77 and recovery words after", "en"))
+      .map { case (u, t, l) => (u, now, t.getBytes("UTF-8"), t, l) }
+    val df = rows.toDF("url", "warc_ts", "html", "text", "lang")
+    val r = DedupPipeline.run(df,
+      DedupConfig(minWindowQualityPm = 300, qualityWin = 4, substringPass = false))
+    val rej = r.rejects.select("url", "reject_reason").collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(rej === Map("https://q.example/spam" -> "low_quality"))
+    assert(r.flagged.select("url").collect().map(_.getString(0)).toSet
+      === Set("https://q.example/clean"))
+    // the reject is counted in the report like every other gate reason
+    val m = r.metrics.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(m("reject_low_quality") === 1L)
+    assert(m("pages_total") === 2L)
+  }
+
   test("NULL lang is rejected when a language whitelist is set") {
     val spark2 = spark
     import spark2.implicits._
