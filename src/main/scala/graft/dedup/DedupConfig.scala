@@ -59,6 +59,15 @@ final case class DedupConfig(
       * Costs narrow (doc_id, url) shuffles + broadcast joins back.
       * Disable only when the corpus is known collision-free. */
     enforceUniqueIds: Boolean = true,
+    /** Salt-rehash rounds for distinct-url hash collisions under
+      * [[enforceUniqueIds]]. One round leaves a ~n_coll·n/2^64 ≈ 5·10⁻⁴
+      * corpus-wide chance (at 10^12 docs) that a REMAPPED id collides
+      * again; each further round multiplies the residual by n/2^64
+      * (≈ 5·10⁻⁸), so the default 2 retires it (~3·10⁻¹¹) for the cost
+      * of one extra narrow (doc_id, url) aggregation + broadcast join —
+      * the reason a 128-bit id type (and its fatter shuffles everywhere)
+      * is not needed. */
+    idRemapRounds: Int = 2,
     /** Languages admitted past the quality gate; None = admit all. */
     allowedLangs: Option[Set[String]] = None,
     /** Minimum text length (chars) past the quality gate. */
@@ -83,6 +92,7 @@ final case class DedupConfig(
 ) {
   require(numHashes == bands * rowsPerBand,
     s"numHashes ($numHashes) must equal bands*rowsPerBand (${bands * rowsPerBand})")
+  require(idRemapRounds >= 1, s"idRemapRounds must be >= 1, got $idRemapRounds")
   require(Set("window", "salted").contains(hotBucketStrategy),
     s"hotBucketStrategy must be 'window' or 'salted', got '$hotBucketStrategy'")
   require(minSubstringChars >= winnowW + winnowWin - 1,

@@ -125,22 +125,41 @@ object DedupPipeline {
     * degrades to a url-keyed shuffle instead of an OOM. `collided` is
     * bounded by birthday math and safe to force-broadcast. */
   private[dedup] def enforceIds(hashed: DataFrame, cfg: DedupConfig): DataFrame = {
-    val perUrl = hashed.select("doc_id", "url")
+    val dupUrls = hashed.select("doc_id", "url")
       .groupBy("doc_id", "url").agg(F.count(F.lit(1)).as("nu"))
-    val dupUrls = perUrl.where(F.col("nu") > 1)
+      .where(F.col("nu") > 1)
       .select(F.col("url"), F.lit(true).as("dup_url"))
-    val collided = perUrl.groupBy("doc_id")
+    val flagged = hashed
+      .join(dupUrls, Seq("url"), "left")
+      .withColumn("dup_url", F.coalesce(F.col("dup_url"), F.lit(false)))
+    // Fixed remap ROUNDS (all lazily chained — no driver-side convergence
+    // loop, which would force eager scans at plan-construction time): each
+    // round re-detects collisions among the previous round's ids and
+    // salt-rehashes the non-min-url rows with a fresh salt. See
+    // DedupConfig.idRemapRounds for the residual-risk arithmetic that
+    // makes round 2 the last one that matters.
+    (1 to cfg.idRemapRounds).foldLeft(flagged) { (df, round) =>
+      remapCollisionsOnce(df, cfg.seed + round)
+    }
+  }
+
+  /** One collision-remap round over a frame with (doc_id, url, dup_url):
+    * distinct-url groups sharing a doc_id keep the min-url row's id and
+    * salt-rehash the rest. The remap is a pure function of (salt, url) —
+    * deterministic across runs and partitionings. `collided` is bounded
+    * by birthday math and safe to force-broadcast; dup_url rows are left
+    * untouched (they route to rejects). */
+  private def remapCollisionsOnce(df: DataFrame, salt: Long): DataFrame = {
+    val collided = df.where(!F.col("dup_url")).select("doc_id", "url")
+      .groupBy("doc_id")
       .agg(F.count(F.lit(1)).as("ng"), F.min("url").as("keep_url"))
       .where(F.col("ng") > 1)
       .select("doc_id", "keep_url")
-    hashed
-      .join(dupUrls, Seq("url"), "left")
-      .join(F.broadcast(collided), Seq("doc_id"), "left")
-      .withColumn("dup_url", F.coalesce(F.col("dup_url"), F.lit(false)))
+    df.join(F.broadcast(collided), Seq("doc_id"), "left")
       .withColumn("doc_id",
         F.when(!F.col("dup_url") && F.col("keep_url").isNotNull
           && F.col("url") =!= F.col("keep_url"),
-          F.xxhash64(F.lit(cfg.seed + 1), F.col("url")))
+          F.xxhash64(F.lit(salt), F.col("url")))
           .otherwise(F.col("doc_id")))
       .drop("keep_url")
   }

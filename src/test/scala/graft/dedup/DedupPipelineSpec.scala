@@ -216,6 +216,31 @@ class DedupPipelineSpec extends SparkSpec {
     assert(remapped === expected, "remap must be the salted rehash of the url")
   }
 
+  test("hash-collision remap round 2: a remapped id that collides again is re-salted") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cfg = DedupConfig()
+    // plant row c so its id equals b's ROUND-1 remap target: round 1
+    // resolves {a,b} but creates {b,c}; round 2 must resolve that too
+    val round1OfB = spark.sql(s"SELECT xxhash64(${cfg.seed + 1}L, 'https://x/b')")
+      .head().getLong(0)
+    val hashed = Seq(
+      ("https://x/a", 7L), ("https://x/b", 7L), ("https://x/c", round1OfB))
+      .toDF("url", "doc_id")
+    val out = DedupPipeline.enforceIds(hashed, cfg)
+      .select("url", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.values.toSeq.distinct.size === 3, s"ids not unique after 2 rounds: $out")
+    assert(out("https://x/a") === 7L)
+    // the min url of the round-2 collision group {b, c} keeps round1OfB,
+    // the other gets the round-2 salt — both pure functions of the url
+    val round2 = Seq("https://x/b", "https://x/c").map { u =>
+      u -> spark.sql(s"SELECT xxhash64(${cfg.seed + 2}L, '$u')").head().getLong(0)
+    }.toMap
+    assert(out("https://x/b") === round1OfB, "min url of round-2 group keeps its id")
+    assert(out("https://x/c") === round2("https://x/c"))
+  }
+
   test("NULL url is rejected (cannot be keyed; would share one doc_id)") {
     val spark2 = spark
     import spark2.implicits._
