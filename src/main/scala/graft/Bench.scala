@@ -153,7 +153,7 @@ object Bench {
     }
     val pages = SyntheticCorpus.pages(spark, n)
     val (sigsAll0, _) = DedupPipeline.signatures(pages, cfg)
-    val sigsAll = sigsAll0.select("doc_id", "text", "minhash", "simhash")
+    val sigsAll = sigsAll0.select("doc_id", "text", "minhash", "simhash", "reject_reason")
       .persist(StorageLevel.MEMORY_AND_DISK)
     tick("signatures")(sigsAll.count())
     val sigs = sigsAll.where($"minhash".isNotNull)
@@ -179,10 +179,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // 250k: large enough that per-doc work dwarfs fixed overhead (walls
-    // ~2 min at local[2]), small enough that 2 main pairs + the per-stage
-    // table + the const-fraction control pair all fit the driver budget
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "250000").toLong
+    // 150k: large enough that per-doc work dwarfs fixed overhead (walls
+    // ~1 min at local[2]), small enough that 3 main pairs + the per-stage
+    // table + the const-fraction control pair all fit the driver budget —
+    // against this VM's one-sided CPU-steal noise, MORE minimum samples
+    // beat a bigger corpus for the recorded efficiency's fidelity
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "150000").toLong
 
     // -- 1. headline queries ------------------------------------------------
     val spark = session(cpus, 0.6)
@@ -207,7 +209,7 @@ object Bench {
     val nSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "2").toInt
     val nBig = sys.env.getOrElse("SPARK_GRAFT_SCALE_4N", "8").toInt
     val main = scalingRuns(nSmall, nBig, nDocs, scaledFraction,
-      warmupFirst = true, maxPairs = 2)
+      warmupFirst = true, maxPairs = 3)
     val (tSmall, tBig, nPairs) = (main.tSmall, main.tBig, main.pairs)
     val efficiency = main.efficiency(nSmall, nBig)
     val dpsSmall = nDocs / tSmall

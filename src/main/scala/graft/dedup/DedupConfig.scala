@@ -24,13 +24,14 @@ final case class DedupConfig(
       * (boilerplate mega-buckets); dropped volume is reported in metrics.
       * The hot-bucket cap from SURVEY.md §4. */
     maxBucketSize: Int = 2000,
-    /** "salted" (default: two-phase salted size count — no task ever
-      * holds a hot bucket, the right posture for the boilerplate-heavy
-      * web corpora this engine targets) or "window" (one shuffle, but the
-      * window count co-locates a mega-bucket in ONE task before the cap
-      * filter — opt in only when mega-buckets are known rare). The two
-      * are output-identical (parity spec in LshSpec). */
-    hotBucketStrategy: String = "salted",
+    /** "auto" (default): probe the actual max band-bucket size (from the
+      * map-side-combined counts pass both strategies pay anyway) and pick
+      * "window" (one shuffle) while no bucket exceeds 4× the cap, or
+      * "salted" (two-phase salted size count + join-back — no task ever
+      * holds a hot bucket) once one does. Force either explicitly for
+      * corpora whose skew is known in advance. All three produce
+      * identical pairs (parity spec in LshSpec). */
+    hotBucketStrategy: String = "auto",
     /** Salt fan-out for the salted strategy's partial size aggregation. */
     saltBuckets: Int = 64,
     /** Winnowing window sizes for the exact-substring pass: any shared
@@ -93,8 +94,8 @@ final case class DedupConfig(
   require(numHashes == bands * rowsPerBand,
     s"numHashes ($numHashes) must equal bands*rowsPerBand (${bands * rowsPerBand})")
   require(idRemapRounds >= 1, s"idRemapRounds must be >= 1, got $idRemapRounds")
-  require(Set("window", "salted").contains(hotBucketStrategy),
-    s"hotBucketStrategy must be 'window' or 'salted', got '$hotBucketStrategy'")
+  require(Set("auto", "window", "salted").contains(hotBucketStrategy),
+    s"hotBucketStrategy must be 'auto', 'window' or 'salted', got '$hotBucketStrategy'")
   require(minSubstringChars >= winnowW + winnowWin - 1,
     s"minSubstringChars ($minSubstringChars) below the winnowing guarantee " +
       s"floor winnowW+winnowWin-1 (${winnowW + winnowWin - 1}): docs shorter " +

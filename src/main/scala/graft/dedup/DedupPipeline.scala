@@ -45,12 +45,18 @@ final case class DedupResult(
   */
 object DedupPipeline {
 
-  /** Stage 0+1 — quality gate + signatures. Returns (sigsAll, rejects):
-    * sigsAll = every gate-admitted doc + minhash/simhash columns (null
-    * minhash ⇔ text produced no shingles → also a reject); callers filter
-    * `minhash.isNotNull`. rejects is built WITHOUT signature computation
-    * except the no-content branch, which callers should serve from a
-    * persisted sigsAll. */
+  /** Stage 0+1 — quality gate + signatures, ONE source pass. Returns
+    * (sigsAll, rejects):
+    *  - sigsAll = EVERY keyed row (gate rejects included) with a
+    *    `reject_reason` column (null = admitted) and minhash/simhash
+    *    (computed only on admitted rows, so minhash.isNotNull ⇔ signed;
+    *    an admitted row with null minhash had no shingleable content).
+    *    Callers cache one narrow projection of this frame and derive
+    *    sigs, no-content rejects AND all gate metrics from the cache —
+    *    counting rejects never re-scans (or re-generates) the source,
+    *    which at 100 TB would be a whole extra text pass.
+    *  - rejects = the wide gate-reject rows (no_content excluded; callers
+    *    derive it from sigsAll). */
   def signatures(pages: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) = {
     val hashed = pages.withColumn("doc_id", F.xxhash64(F.lit(cfg.seed), F.col("url")))
     // Input contract: url is THE document key (doc_id = hash(url)).
@@ -83,32 +89,34 @@ object DedupPipeline {
       // NULL lang is a reject when a whitelist is set: isin() is
       // three-valued (NULL lang → NULL), so compare null-safely to true
       .when(F.not(langOk <=> F.lit(true)), "lang")
-    val gated = base.withColumn("reject_reason", reason).drop("dup_url")
-    val rowRejects = gated.where(F.col("reject_reason").isNotNull)
-    val rowAdmitted = gated.where(F.col("reject_reason").isNull).drop("reject_reason")
+    val gated0 = base.withColumn("reject_reason", reason).drop("dup_url")
     // windowed-quality gate (off by default): the low-quality id set is
-    // narrow (ids of failing docs only) and routes via doc_id joins — AQE
-    // broadcasts it when small, the common case
-    val (admitted, rejects) =
-      if (cfg.minWindowQualityPm <= 0) (rowAdmitted, rowRejects)
+    // narrow (ids of failing docs only) and folds into reject_reason via
+    // a doc_id join — AQE broadcasts it when small, the common case
+    val gated =
+      if (cfg.minWindowQualityPm <= 0) gated0
       else {
         val lowQ = graft.analysis.TextAnalysis
           .windowedMinQualityPermille(
-            rowAdmitted.select("doc_id", "text"), cfg.qualityWin)
+            gated0.where(F.col("reject_reason").isNull)
+              .select("doc_id", "text"), cfg.qualityWin)
           .where(F.col("min_window_quality_pm") < cfg.minWindowQualityPm)
-          .select("doc_id")
-        val qualityRejects = rowAdmitted
-          .join(lowQ, Seq("doc_id"), "left_semi")
-          .withColumn("reject_reason", F.lit("low_quality"))
-        (rowAdmitted.join(lowQ, Seq("doc_id"), "left_anti"),
-          rowRejects.unionByName(qualityRejects))
+          .select(F.col("doc_id"), F.lit(true).as("_lowq"))
+        gated0.join(lowQ, Seq("doc_id"), "left")
+          .withColumn("reject_reason", F.coalesce(F.col("reject_reason"),
+            F.when(F.col("_lowq"), "low_quality")))
+          .drop("_lowq")
       }
-    val sigsAll = admitted
-      .withColumn("shingles", shingles(F.col("text"), cfg.shingleK, cfg.seed))
+    // signatures only where admitted: shingles(null) → null → null
+    // minhash/simhash, so reject rows never pay signature compute and
+    // minhash.isNotNull still means "signed" downstream
+    val admittedText = F.when(F.col("reject_reason").isNull, F.col("text"))
+    val sigsAll = gated
+      .withColumn("shingles", shingles(admittedText, cfg.shingleK, cfg.seed))
       .withColumn("minhash", minhash(F.col("shingles"), cfg.numHashes, cfg.seed))
       .withColumn("simhash", simhash(F.col("shingles"), cfg.seed))
       .drop("shingles")
-    (sigsAll, rejects)
+    (sigsAll, gated.where(F.col("reject_reason").isNotNull))
   }
 
   /** Id-uniqueness enforcement over a frame that already carries
@@ -125,10 +133,15 @@ object DedupPipeline {
     * degrades to a url-keyed shuffle instead of an OOM. `collided` is
     * bounded by birthday math and safe to force-broadcast. */
   private[dedup] def enforceIds(hashed: DataFrame, cfg: DedupConfig): DataFrame = {
-    val dupUrls = hashed.select("doc_id", "url")
+    // the derived enforcement tables are TRACKED CACHES: every downstream
+    // job re-evaluates the gated plan, and without the cache each
+    // evaluation would re-run these (doc_id, url) aggregations over the
+    // full corpus — with it, re-evaluation costs two joins against tiny
+    // materialized tables
+    val dupUrls = graft.Caches.track(hashed.select("doc_id", "url")
       .groupBy("doc_id", "url").agg(F.count(F.lit(1)).as("nu"))
       .where(F.col("nu") > 1)
-      .select(F.col("url"), F.lit(true).as("dup_url"))
+      .select(F.col("url"), F.lit(true).as("dup_url")))
     val flagged = hashed
       .join(dupUrls, Seq("url"), "left")
       .withColumn("dup_url", F.coalesce(F.col("dup_url"), F.lit(false)))
@@ -150,11 +163,12 @@ object DedupPipeline {
     * by birthday math and safe to force-broadcast; dup_url rows are left
     * untouched (they route to rejects). */
   private def remapCollisionsOnce(df: DataFrame, salt: Long): DataFrame = {
-    val collided = df.where(!F.col("dup_url")).select("doc_id", "url")
-      .groupBy("doc_id")
-      .agg(F.count(F.lit(1)).as("ng"), F.min("url").as("keep_url"))
-      .where(F.col("ng") > 1)
-      .select("doc_id", "keep_url")
+    val collided = graft.Caches.track(
+      df.where(!F.col("dup_url")).select("doc_id", "url")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).as("ng"), F.min("url").as("keep_url"))
+        .where(F.col("ng") > 1)
+        .select("doc_id", "keep_url"))
     df.join(F.broadcast(collided), Seq("doc_id"), "left")
       .withColumn("doc_id",
         F.when(!F.col("dup_url") && F.col("keep_url").isNotNull
@@ -278,11 +292,13 @@ object DedupPipeline {
     // exactly one shuffle — the final flag join at emission.
     val (sigsAllRaw, gateRejects) = signatures(pages, cfg)
     val sigsAll = graft.Caches.track(sigsAllRaw
-      .select("doc_id", "text", "minhash", "simhash"))
+      .select("doc_id", "text", "minhash", "simhash", "reject_reason"))
     val sigs = sigsAll.where($"minhash".isNotNull)
-    val admittedWide = sigsAllRaw.drop("minhash", "simhash")
+    val admittedWide = sigsAllRaw.where($"reject_reason".isNull)
+      .drop("minhash", "simhash", "reject_reason")
     val noContent = admittedWide.join(
-      sigsAll.where($"minhash".isNull).select("doc_id"), Seq("doc_id"), "left_semi")
+      sigsAll.where($"reject_reason".isNull && $"minhash".isNull)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
       .withColumn("reject_reason", F.lit("no_content"))
     val rejects = gateRejects.unionByName(noContent, allowMissingColumns = true)
     val sigCols = sigs.select("doc_id", "minhash", "simhash")
@@ -329,19 +345,17 @@ object DedupPipeline {
 
     // Report — consolidated into 4 aggregate jobs (one per cached stage),
     // not a count() per counter: at bench/cluster scale serial driver jobs
-    // are pure Amdahl overhead.
-    val sigStats = sigsAll.agg(
-      F.count(F.lit(1)), F.count($"minhash")).head()
-    val (docsSigned, docsAdmitted) = (sigStats.getLong(0), sigStats.getLong(1))
-    // pages_total derived, not re-scanned: a count() over the wide
-    // (html-bearing) source is a whole extra pass at 100 TB. The gate
-    // partition (admitted ∪ gateRejects) is total, so
-    // pagesTotal = docsSigned + Σ gate rejects; the reject aggregation is
-    // narrow (pruned to the gate-predicate columns — no html).
-    val gateRejectRows = gateRejects.groupBy($"reject_reason")
-      .agg(F.count(F.lit(1)).as("n")).collect()
-    val gateRejectCount = gateRejectRows.map(_.getLong(1)).sum
-    val pagesTotal = docsSigned + gateRejectCount
+    // are pure Amdahl overhead. ALL gate numbers (pages_total, per-reason
+    // rejects, signed/admitted) come from ONE aggregation of the cached
+    // signature frame — no job ever re-scans the source for a counter.
+    val gateStats = sigsAll.groupBy("reject_reason")
+      .agg(F.count(F.lit(1)).as("n"), F.count($"minhash").as("nsig")).collect()
+    val admittedRow = gateStats.filter(_.isNullAt(0))
+    val docsSigned = admittedRow.map(_.getLong(1)).sum
+    val docsAdmitted = admittedRow.map(_.getLong(2)).sum
+    val pagesTotal = gateStats.map(_.getLong(1)).sum
+    val gateRejectRows = gateStats.filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(1))
     // one pass over scored: counts + the 16 histogram buckets
     val pairAggs = Seq(
       F.count(F.lit(1)),
@@ -372,7 +386,7 @@ object DedupPipeline {
       "lsh_overflow_buckets" -> o.getLong(0),
       "lsh_overflow_rows" -> o.getLong(1)
     ).++(hists)
-      .++(gateRejectRows.map(r => s"reject_${r.getString(0)}" -> r.getLong(1)))
+      .++(gateRejectRows.map { case (reason, n) => s"reject_$reason" -> n })
       .toDF("metric", "value").orderBy("metric")
 
     DedupResult(flagged, deduped, duplicates, clusters, nearMisses, rejects, metrics)

@@ -50,18 +50,53 @@ object Lsh {
           .as("bucket"))
 
   /** Candidate pairs (a < b by doc_id) from band buckets, hot buckets
-    * capped. Returns (pairs, overflowStats).
+    * capped. Returns (pairs, overflowStats). Strategies (output-identical,
+    * parity-tested in LshSpec):
     *
-    * One shuffle on (band, bucket): a window count tags every member with
-    * its bucket size (no bucket is ever materialized as an array before
-    * the cap filter — the skew guard), then the capped groupBy reuses the
-    * window's hash partitioning (no second shuffle) to build bounded
-    * member arrays and emit intra-bucket pairs. The old shape
-    * (count-aggregate + join-back) recomputed the band explode twice and
-    * sorted it twice more for the self-join. */
+    *  - "window" — one shuffle on bucket: a window count tags every
+    *    member with its bucket size, the capped groupBy reuses the
+    *    window's hash partitioning. Cheapest, BUT the window sort
+    *    co-locates a mega-bucket in ONE task before the cap filter.
+    *  - "salted" — two-phase salted size count + eligibility join-back:
+    *    no task ever holds an uncapped bucket, at the cost of an extra
+    *    pass over the exploded table and the join machinery (~1.3× the
+    *    candidate stage).
+    *  - "auto" (default) — probe the ACTUAL max bucket size first, from
+    *    the same map-side-combined counts pass both strategies already
+    *    pay for overflow stats (a partial-agg count never co-locates a
+    *    bucket: each reducer sees at most one partial per map task), then
+    *    pick: window while the largest bucket is ≤ 4× the cap (bounded
+    *    co-location — the post-filter collect_list co-locates up to cap
+    *    rows per bucket anyway), salted once a genuinely hot bucket
+    *    exists. One tiny scalar driver job; the hazard decision is made
+    *    from data, not guessed from config. */
   def candidatePairs(sigs: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) =
-    if (cfg.hotBucketStrategy == "salted") candidatePairsSalted(sigs, cfg)
-    else candidatePairsWindow(sigs, cfg)
+    cfg.hotBucketStrategy match {
+      case "salted" => candidatePairsSalted(sigs, cfg)
+      case "window" => candidatePairsWindow(sigs, cfg)
+      case _ => // auto
+        val spark = sigs.sparkSession
+        import spark.implicits._
+        // ONE map-side-combined pass yields the probe scalar AND the
+        // overflow stats, so auto-calm runs strictly cheaper than the
+        // forced window strategy (which pays a separate overflow pass)
+        val stats = explodeBuckets(sigs, cfg)
+          .groupBy("bucket").count()
+          .agg(
+            F.coalesce(F.max("count"), F.lit(0L)),
+            F.coalesce(F.sum(F.when(F.col("count") > cfg.maxBucketSize, 1L)
+              .otherwise(0L)), F.lit(0L)),
+            F.coalesce(F.sum(F.when(F.col("count") > cfg.maxBucketSize,
+              F.col("count")).otherwise(0L)), F.lit(0L)))
+          .head()
+        val overflow = Seq((stats.getLong(1), stats.getLong(2)))
+          .toDF("overflow_buckets", "overflow_rows")
+        val pairs =
+          if (stats.getLong(0) <= 4L * cfg.maxBucketSize)
+            windowPairs(sigs, cfg)
+          else candidatePairsSalted(sigs, cfg)._1
+        (pairs, overflow)
+    }
 
   /** Salted two-phase strategy — the 10^12-doc path (north_rule: "salted
     * repartition + groupBy to tame hot-bucket skew"). Bucket sizes are
@@ -97,31 +132,37 @@ object Lsh {
     (pairs, overflow)
   }
 
-  /** Single-shuffle window strategy — the default. */
+  /** Single-shuffle window strategy. */
   def candidatePairsWindow(sigs: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val exploded = explodeBuckets(sigs, cfg)
-    val counted = exploded.withColumn("n",
-      F.count(F.lit(1)).over(Window.partitionBy("bucket")))
     // overflow stats take their own narrow count-aggregate pass (partial
     // agg, counts only) — cheaper than persisting the full window output
     // just to read two numbers from it
-    val overflow = exploded.groupBy("bucket").count()
+    val overflow = explodeBuckets(sigs, cfg).groupBy("bucket").count()
       .where(F.col("count") > cfg.maxBucketSize)
       .agg(
         F.coalesce(F.count(F.lit(1)), F.lit(0L)).as("overflow_buckets"),
         F.coalesce(F.sum("count"), F.lit(0L)).as("overflow_rows"))
+    (windowPairs(sigs, cfg), overflow)
+  }
+
+  /** The window strategy's pair generation alone (no overflow stats):
+    * one shuffle on bucket — window count tags members with their bucket
+    * size, the capped groupBy reuses the window's hash partitioning. */
+  private def windowPairs(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exploded = explodeBuckets(sigs, cfg)
+    val counted = exploded.withColumn("n",
+      F.count(F.lit(1)).over(Window.partitionBy("bucket")))
     // singleton short-circuit (reference/dupliganger/dedup.py:543-562) +
     // mega-bucket cap in one filter
     val members = counted.where(F.col("n").between(2, cfg.maxBucketSize))
     val buckets = members.groupBy("bucket")
       .agg(F.collect_list(F.col("doc_id")).as("ids")) // bounded by maxBucketSize
-    val pairs = buckets
+    buckets
       .select(F.explode(F.col("ids")).as("a"), F.col("ids"))
       .select(F.col("a"), F.explode(F.col("ids")).as("b"))
       .where(F.col("a") < F.col("b"))
       .distinct()
-    (pairs, overflow)
   }
 
   /** Attach signatures to pairs and score them. Output columns:

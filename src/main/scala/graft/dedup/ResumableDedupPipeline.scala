@@ -56,7 +56,7 @@ object ResumableDedupPipeline {
 
     val (sigsAllRaw, gateRejects) = DedupPipeline.signatures(pages, cfg)
     val sigsAll = store.runStaged("signatures") {
-      sigsAllRaw.select("doc_id", "text", "minhash", "simhash")
+      sigsAllRaw.select("doc_id", "text", "minhash", "simhash", "reject_reason")
     }
     val sigs = sigsAll.where($"minhash".isNotNull)
     val sigCols = sigs.select("doc_id", "minhash", "simhash")
@@ -76,9 +76,11 @@ object ResumableDedupPipeline {
     val flags = store.runStaged("flags")(DedupPipeline.winnerFlags(sigs, assign, cfg))
 
     // emission — derived, not staged (cheap joins of source rows + flags)
-    val admittedWide = sigsAllRaw.drop("minhash", "simhash")
+    val admittedWide = sigsAllRaw.where($"reject_reason".isNull)
+      .drop("minhash", "simhash", "reject_reason")
     val noContent = admittedWide.join(
-      sigsAll.where($"minhash".isNull).select("doc_id"), Seq("doc_id"), "left_semi")
+      sigsAll.where($"reject_reason".isNull && $"minhash".isNull)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
       .withColumn("reject_reason", F.lit("no_content"))
     val rejects = gateRejects.unionByName(noContent, allowMissingColumns = true)
     val nearMisses = scored.where(!$"verified")

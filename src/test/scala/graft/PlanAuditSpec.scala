@@ -58,6 +58,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("window quality: ONE doc_id Exchange shared by window and min-agg; text+doc_id pruned scan") {
+    val p = plan(q("q_window_quality"))
+    // running-sum window and the groupBy(doc_id) min must reuse the same
+    // hash partitioning — a second Exchange would double the explode's
+    // shuffle volume (the dominant cost at corpus scale). Count the
+    // detail-section headers ("(n) Exchange"), one per physical node.
+    val exchanges = raw"\(\d+\) Exchange".r.findAllIn(p).length
+    assert(exchanges === 1, p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("embedding queries: no driver-side collect in any oracle'd plan") {
     // a collect-based layout would appear as a LocalTableScan/broadcast of
     // the whole vector table built on the driver; the blocked/bucketed

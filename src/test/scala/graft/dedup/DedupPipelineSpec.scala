@@ -175,7 +175,8 @@ class DedupPipelineSpec extends SparkSpec {
     val rej = rejects.select("url", "reject_reason").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(rej === Map("https://x/2" -> "lang", "https://x/3" -> "lang"))
-    assert(sigsAll.select("url").collect().map(_.getString(0)).toSeq === Seq("https://x/1"))
+    assert(sigsAll.where(F.col("reject_reason").isNull)
+      .select("url").collect().map(_.getString(0)).toSeq === Seq("https://x/1"))
   }
 
   test("duplicate input urls are rejected as dup_url (contract enforcement)") {
@@ -190,7 +191,8 @@ class DedupPipelineSpec extends SparkSpec {
       .withColumn("html", F.encode(F.col("text"), "UTF-8"))
     val (sigsAll, rejects) = DedupPipeline.signatures(rows, DedupConfig())
     assert(rejects.where(F.col("reject_reason") === "dup_url").count() === 2)
-    assert(sigsAll.select("url").collect().map(_.getString(0)).toSeq
+    assert(sigsAll.where(F.col("reject_reason").isNull)
+      .select("url").collect().map(_.getString(0)).toSeq
       === Seq("https://x/other"))
   }
 
@@ -254,7 +256,7 @@ class DedupPipelineSpec extends SparkSpec {
       .withColumn("html", F.encode(F.col("text"), "UTF-8"))
     val (sigsAll, rejects) = DedupPipeline.signatures(rows, DedupConfig())
     assert(rejects.where(F.col("reject_reason") === "null_url").count() === 2)
-    assert(sigsAll.count() === 1)
+    assert(sigsAll.where(F.col("reject_reason").isNull).count() === 1)
   }
 
   test("dedupeByUrl keeps one row per url (latest crawl), deterministically") {

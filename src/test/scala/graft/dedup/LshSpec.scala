@@ -28,14 +28,29 @@ class LshSpec extends SparkSpec {
     assert(ow.head().getLong(1) === os.head().getLong(1)) // same overflow rows
   }
 
-  test("both strategies enforce the mega-bucket cap identically") {
+  test("all strategies enforce the mega-bucket cap identically") {
     val sigs = sigsOf(800).cache()
     // absurdly small cap: every multi-member bucket overflows
-    for (strategy <- Seq("window", "salted")) {
+    for (strategy <- Seq("window", "salted", "auto")) {
       val cfg = DedupConfig(maxBucketSize = 1, hotBucketStrategy = strategy)
       val (pairs, overflow) = Lsh.candidatePairs(sigs, cfg)
       assert(pairs.count() === 0, strategy)
       assert(overflow.head().getLong(1) > 0, strategy)
+    }
+  }
+
+  test("auto strategy matches both forced strategies on hot and calm corpora") {
+    val sigs = sigsOf(800).cache()
+    def pairsOf(strategy: String, cap: Int) = Lsh.candidatePairs(sigs,
+      DedupConfig(hotBucketStrategy = strategy, maxBucketSize = cap))._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // calm regime (default cap → probe picks window) and hot regime
+    // (cap 1 → every shared bucket is >4× cap → probe picks salted):
+    // auto must be output-identical to the forced strategies in both
+    for (cap <- Seq(DedupConfig().maxBucketSize, 1)) {
+      val auto = pairsOf("auto", cap)
+      assert(auto === pairsOf("window", cap), s"cap=$cap")
+      assert(auto === pairsOf("salted", cap), s"cap=$cap")
     }
   }
 
