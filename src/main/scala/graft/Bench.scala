@@ -340,7 +340,12 @@ object Bench {
         val big = stagedRun(nBig, nStage)
         big.map { case (k, tb) => (k, small(k), tb) }
       }
-    writeArtifacts(stages, None, emitStdout = false)
+    // headline + per-stage results go to stdout NOW: the control phase
+    // below runs more multi-minute pipeline pairs, and a crash or
+    // external kill there must not cost the already-finished results
+    // (a tail parser takes the LAST line, which the full write below
+    // replaces when the control completes)
+    writeArtifacts(stages, None, emitStdout = true)
 
     // -- 4. constant-fraction CONTROL pair: both levels at fraction 0.6
     // (the fairness adjustment removed — the small level now gets MORE

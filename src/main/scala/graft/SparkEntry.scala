@@ -171,9 +171,11 @@ object SparkEntry {
       // is sound. Planted copies guarantee positives.
       val cfg = DedupConfig(shingleK = 3, tau = 0.5)
       val all = docsWithCopies(s, dir)
-      val sigs = all.select(F.col("doc_id"),
+      // tracked cache: the auto strategy's size probe, pair generation
+      // and the verify joins each consume the signature expressions
+      val sigs = graft.Caches.track(all.select(F.col("doc_id"),
         minhash(shingles(F.col("text"), cfg.shingleK, cfg.seed), cfg.numHashes, cfg.seed).as("minhash"),
-        simhash(shingles(F.col("text"), cfg.shingleK, cfg.seed), cfg.seed).as("simhash"))
+        simhash(shingles(F.col("text"), cfg.shingleK, cfg.seed), cfg.seed).as("simhash")))
       val (pairs, _) = Lsh.candidatePairs(sigs, cfg)
       val edges = Lsh.verifyPairs(pairs, sigs, cfg).where(F.col("verified"))
         .select("a", "b")

@@ -96,12 +96,16 @@ object DedupPipeline {
     val gated =
       if (cfg.minWindowQualityPm <= 0) gated0
       else {
-        val lowQ = graft.analysis.TextAnalysis
+        // tracked cache, like enforceIds' tables: the low-quality id set
+        // sits in the lineage of EVERY downstream frame, and uncached it
+        // would re-run the whole-corpus token-explode aggregation on each
+        // re-evaluation of the gated plan
+        val lowQ = graft.Caches.track(graft.analysis.TextAnalysis
           .windowedMinQualityPermille(
             gated0.where(F.col("reject_reason").isNull)
               .select("doc_id", "text"), cfg.qualityWin)
           .where(F.col("min_window_quality_pm") < cfg.minWindowQualityPm)
-          .select(F.col("doc_id"), F.lit(true).as("_lowq"))
+          .select(F.col("doc_id"), F.lit(true).as("_lowq")))
         gated0.join(lowQ, Seq("doc_id"), "left")
           .withColumn("reject_reason", F.coalesce(F.col("reject_reason"),
             F.when(F.col("_lowq"), "low_quality")))
@@ -264,11 +268,16 @@ object DedupPipeline {
         F.col("best.near_miss_est_jaccard"), F.col("best.near_miss_hamming"))
   }
 
-  /** Verified near-dup edges (LSH ∪ substring): the CC input. */
+  /** Verified near-dup edges (LSH ∪ substring): the CC input. The
+    * signature columns are cached here because candidate generation (and
+    * under the default "auto" strategy, its eager size probe), the
+    * verification joins and the substring pass each re-evaluate them —
+    * uncached, the most expensive expressions in the engine would run
+    * several extra times. */
   def dupEdges(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     val spark = sigs.sparkSession
     import spark.implicits._
-    val sigCols = sigs.select("doc_id", "minhash", "simhash")
+    val sigCols = graft.Caches.track(sigs.select("doc_id", "minhash", "simhash"))
     val (pairs, _) = Lsh.candidatePairs(sigCols, cfg)
     val verified = Lsh.verifyPairs(pairs, sigCols, cfg)
       .where($"verified").select($"a", $"b")

@@ -62,14 +62,20 @@ object Lsh {
     *    pass over the exploded table and the join machinery (~1.3× the
     *    candidate stage).
     *  - "auto" (default) — probe the ACTUAL max bucket size first, from
-    *    the same map-side-combined counts pass both strategies already
-    *    pay for overflow stats (a partial-agg count never co-locates a
-    *    bucket: each reducer sees at most one partial per map task), then
-    *    pick: window while the largest bucket is ≤ 4× the cap (bounded
-    *    co-location — the post-filter collect_list co-locates up to cap
-    *    rows per bucket anyway), salted once a genuinely hot bucket
-    *    exists. One tiny scalar driver job; the hazard decision is made
-    *    from data, not guessed from config. */
+    *    a map-side-combined counts pass (a partial-agg count never
+    *    co-locates a bucket: each reducer sees at most one partial per
+    *    map task), then pick: window while the largest bucket is ≤ 4×
+    *    the cap (bounded co-location — the post-filter collect_list
+    *    co-locates up to cap rows per bucket anyway), salted once a
+    *    genuinely hot bucket exists. The probe pass doubles as the
+    *    overflow-stats pass, so in the calm case auto costs the same
+    *    passes as the forced window strategy. The hazard decision is
+    *    made from data, not guessed from config.
+    *
+    * NOTE: "auto" is EAGER — the probe submits a small Spark job at call
+    * time (the other strategies stay fully lazy). Callers should pass
+    * CACHED signature frames (as DedupPipeline.run and dupEdges do), or
+    * the probe re-evaluates the signature expressions once more. */
   def candidatePairs(sigs: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) =
     cfg.hotBucketStrategy match {
       case "salted" => candidatePairsSalted(sigs, cfg)
@@ -78,8 +84,8 @@ object Lsh {
         val spark = sigs.sparkSession
         import spark.implicits._
         // ONE map-side-combined pass yields the probe scalar AND the
-        // overflow stats, so auto-calm runs strictly cheaper than the
-        // forced window strategy (which pays a separate overflow pass)
+        // overflow stats — auto-calm pays the same two exploded passes
+        // as the forced window strategy (counts + window), just eagerly
         val stats = explodeBuckets(sigs, cfg)
           .groupBy("bucket").count()
           .agg(

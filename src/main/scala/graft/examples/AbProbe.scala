@@ -6,7 +6,7 @@ import graft.io.SyntheticCorpus
 
 /** A/B wall-clock probe of pipeline configuration axes at one core count.
   * Usage: runMain graft.examples.AbProbe <cores> <nDocs> <axis>
-  * where axis ∈ {strategy, tags}. */
+  * where axis ∈ {strategy, remap}. */
 object AbProbe {
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt; val n = args(1).toLong; val axis = args(2)

@@ -301,7 +301,13 @@ object StreamingDedup {
               if (m.id != id) {
                 val pair = (math.min(m.id, id), math.max(m.id, id))
                 if (seenInBatch.add(pair))
-                  out += StreamCandidate(pair._1, pair._2, ts)
+                  // stamp with the NEWEST member's event time, not the
+                  // arrival's: an out-of-order arrival older than the
+                  // stored member would otherwise produce a cts the
+                  // verify interval (sig ts ≤ cts) rejects for the
+                  // stored member, silently dropping a valid pair
+                  out += StreamCandidate(pair._1, pair._2,
+                    new java.sql.Timestamp(math.max(m.tsMs, ts.getTime)))
               }
             }
             if (!members.exists(_.id == id)) {
@@ -310,10 +316,18 @@ object StreamingDedup {
                 members = members.sortBy(m => (-m.tsMs, m.id)).take(maxBucketState)
             }
           }
-          state.update(BucketIdState(members))
-          state.setTimeoutTimestamp(
-            math.max(wmMs + 1, members.map(_.tsMs).max), watermark)
-          out.result().iterator
+          if (members.isEmpty) {
+            // every stored member aged out and every arrival was late —
+            // nothing to keep, nothing was paired (an arrival that passes
+            // the late guard always joins `members`)
+            state.remove()
+            Iterator.empty
+          } else {
+            state.update(BucketIdState(members))
+            state.setTimeoutTimestamp(
+              math.max(wmMs + 1, members.map(_.tsMs).max), watermark)
+            out.result().iterator
+          }
         }
     }.toDF("id_a", "id_b", "cts")
       // event-time is re-declared on the operator output so the verify

@@ -123,11 +123,15 @@ class StreamingDedupSpec extends SparkSpec {
         .writeStream.format("memory").queryName("near_keyed_out")
         .outputMode("append").start()
 
-      input.addData(page(11, 0), page(13, 1), page(0, 1), page(1, 2))
+      input.addData(page(11, 10), page(13, 11), page(0, 11), page(1, 12))
       q.processAllAvailable()
       // dups arrive in LATER micro-batches → candidates via ids-only bucket
-      // state, signatures recovered through the doc_id-keyed join state
-      input.addData(page(16, 3), page(14, 4))
+      // state, signatures recovered through the doc_id-keyed join state.
+      // page 16 arrives OUT OF ORDER (event time min 5, OLDER than its
+      // stored partner 11 at min 10, still inside the watermark): the
+      // candidate must be stamped with the newest member time or the
+      // verify interval join silently drops the pair.
+      input.addData(page(16, 5), page(14, 12))
       q.processAllAvailable()
       q.stop()
     } finally spark.conf.set(checkKey, "true")
