@@ -47,8 +47,8 @@ object ConnectedComponents {
 
     // canonical edge orientation (big, small), dropping self-loops.
     // LAZY localCheckpoint: the convergence-signature aggregate is the
-    // action that materializes it, so each round costs ONE Spark job
-    // (checkpoint + count + xor in a single pass) instead of two — at
+    // action that materializes it, so each signature check costs ONE Spark
+    // job (checkpoint + count + xor in a single pass) instead of two — at
     // small-per-round edge volumes the driver-side job latency is the
     // dominant cost of the loop, not the shuffle.
     var cur = in.where($"u" =!= $"v")
@@ -56,19 +56,31 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(false)
 
-    var lastSig: (Long, Long) = signature(cur)
-    var converged = lastSig._1 == 0L // no edges at all
+    // Driver-job economy: star rounds are batched in pairs and convergence
+    // is checked once per BATCH — the potential function of Kiveris et al.
+    // decreases monotonically (no 2-cycles), so "signature unchanged over
+    // two rounds" still implies fixpoint, at half the driver jobs. The
+    // initial signature job is folded into the first batch the same way
+    // (sentinel lastSig): an already-converged input pays one cheap batch
+    // over its fixpoint edge set instead of a dedicated probe job. Worst
+    // case does ONE idempotent extra round — harmless; driver-job count
+    // (the latency floor of the whole loop at cluster scale, where each
+    // job is a scheduler round-trip) drops from rounds+2 to rounds/2+1.
+    val checkEvery = 2
+    var lastSig: (Long, Long) = (-1L, -1L) // sentinel: never a real (count, xor)
+    var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val ls = largeStar(cur)
-      val ss = smallStar(ls)
-      val next = ss.localCheckpoint(false)
+      var next = cur
+      var s = 0
+      while (s < checkEvery) { next = smallStar(largeStar(next)); s += 1 }
+      next = next.localCheckpoint(false)
       val sig = signature(next)
       cur.unpersist(false)
       cur = next
-      converged = sig == lastSig
+      converged = sig == lastSig || sig._1 == 0L // unchanged batch, or no edges
       lastSig = sig
-      iter += 1
+      iter += checkEvery
     }
     require(converged, s"connected components did not converge in $maxIterations rounds")
 

@@ -360,8 +360,10 @@ object DedupPipeline {
     val gateStats = sigsAll.groupBy("reject_reason")
       .agg(F.count(F.lit(1)).as("n"), F.count($"minhash").as("nsig")).collect()
     val admittedRow = gateStats.filter(_.isNullAt(0))
-    val docsSigned = admittedRow.map(_.getLong(1)).sum
-    val docsAdmitted = admittedRow.map(_.getLong(2)).sum
+    // n counts every gate-admitted row; nsig counts the signed subset
+    // (non-null minhash) — the names mirror the counts they hold
+    val docsGateAdmitted = admittedRow.map(_.getLong(1)).sum
+    val docsSigned = admittedRow.map(_.getLong(2)).sum
     val pagesTotal = gateStats.map(_.getLong(1)).sum
     val gateRejectRows = gateStats.filter(!_.isNullAt(0))
       .map(r => r.getString(0) -> r.getLong(1))
@@ -383,9 +385,9 @@ object DedupPipeline {
 
     val metrics = Seq(
       "pages_total" -> pagesTotal,
-      "rejects" -> (pagesTotal - docsAdmitted),
-      "docs_admitted" -> docsAdmitted,
-      "no_content_rejects" -> (docsSigned - docsAdmitted),
+      "rejects" -> (pagesTotal - docsSigned),
+      "docs_admitted" -> docsSigned,
+      "no_content_rejects" -> (docsGateAdmitted - docsSigned),
       "candidate_pairs" -> candPairs,
       "verified_pairs" -> verifiedPairs,
       "near_miss_pairs" -> (candPairs - verifiedPairs),

@@ -229,9 +229,19 @@ object StreamingDedup {
     *     equi-joins the signature stream twice (id_a, then id_b) under a
     *     time-interval bound (signature ts within [cand ts − delay,
     *     cand ts]), so join state evicts with the watermark; est-Jaccard
-    *     ≥ τ filters exactly as in the batch pass — verification
-    *     semantics are IDENTICAL to [[nearDupPairsStream]], only the
-    *     state layout differs.
+    *     ≥ τ filters exactly as in the batch pass.
+    *
+    * SEMANTIC DIVERGENCE from [[nearDupPairsStream]] (by design): the
+    * verify interval spans exactly one watermark delay, so a candidate
+    * pair whose two members' event times lie MORE than `watermark` apart
+    * — possible when an arrival jumps far ahead of watermark + delay
+    * while the older member still sits in bucket state — is dropped here
+    * (the older signature falls outside [cts − watermark, cts]), whereas
+    * the self-contained variant, whose signatures ride inside bucket
+    * state, emits it. This is the price of watermark-bounded join state:
+    * widening the interval would hold signature state beyond the
+    * watermark. Pairs within one watermark interval — the contract the
+    * operator promises — verify identically in both variants.
     *
     * Same emission contract as [[nearDupPairsStream]]: a pair sharing
     * several bands can emit once per shared band bucket; consumers
