@@ -24,13 +24,15 @@ final case class DedupConfig(
       * (boilerplate mega-buckets); dropped volume is reported in metrics.
       * The hot-bucket cap from SURVEY.md §4. */
     maxBucketSize: Int = 2000,
-    /** "auto" (default): probe the actual max band-bucket size (from the
-      * map-side-combined counts pass both strategies pay anyway) and pick
-      * "window" (one shuffle) while no bucket exceeds 4× the cap, or
+    /** Hot-key strategy for BOTH mega-key hazards in the engine — LSH
+      * band buckets (graft.dedup.Lsh) and winnow fingerprint posting
+      * lists (graft.dedup.SubstringDedup). "auto" (default): probe the
+      * actual max key size (from a map-side-combined counts pass) and
+      * pick "window" (one shuffle) while no key exceeds 4× its cap, or
       * "salted" (two-phase salted size count + join-back — no task ever
-      * holds a hot bucket) once one does. Force either explicitly for
-      * corpora whose skew is known in advance. All three produce
-      * identical pairs (parity spec in LshSpec). */
+      * holds a hot key's rows) once one does. Force either explicitly
+      * for corpora whose skew is known in advance. All three produce
+      * identical pairs (parity specs in LshSpec / SubstringDedupSpec). */
     hotBucketStrategy: String = "auto",
     /** Salt fan-out for the salted strategy's partial size aggregation. */
     saltBuckets: Int = 64,

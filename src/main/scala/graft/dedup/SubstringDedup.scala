@@ -51,25 +51,17 @@ object SubstringDedup {
       .groupBy("th").agg(F.min(F.col("doc_id")).as("doc_id"))
       .select("doc_id")) // ids only; consumed by both reps uses below
     val reps = docs.join(repIds, Seq("doc_id"), "left_semi")
-    val eligible = reps
+    // tracked cache: the auto strategy's eager size probe below would
+    // otherwise re-run the winnowing expression — the most expensive
+    // compute in this pass — once more over the full rep set
+    val eligible = graft.Caches.track(reps
       .where(F.length(F.col("text")) >= cfg.minSubstringChars)
       .select(F.col("doc_id"),
         winnowedFingerprints(F.col("text"), cfg.winnowW, cfg.winnowWin, cfg.seed).as("fp"),
         F.length(F.col("text")).as("len"))
       .withColumn("nfp", F.size(F.col("fp")))
-      .where(F.col("nfp") > 0)
-
-    // one shuffle on fingerprint: window count tags posting-list size
-    // (no list materialized before the cap), capped groupBy reuses the
-    // partitioning to build bounded member arrays, pairs explode from them
-    val postings = eligible.select(F.col("doc_id"), F.col("len"), F.col("nfp"),
-      F.explode(F.col("fp")).as("f"))
-    val counted = postings.withColumn("pn",
-      F.count(F.lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("f")))
-      .where(F.col("pn").between(2, cfg.maxFingerprintPostings))
-    val buckets = counted.groupBy("f")
-      .agg(F.collect_list(F.struct(F.col("doc_id"), F.col("len"), F.col("nfp"))).as("ms"))
+      .where(F.col("nfp") > 0))
+    val buckets = cappedPostingBuckets(eligible, cfg)
 
     // directed candidates: shorter doc (a) potentially inside longer (b);
     // shared-fingerprint count / |fp(a)| = containment estimate
@@ -108,5 +100,53 @@ object SubstringDedup {
       .join(tb.hint("shuffle_hash"), "b")
       .where(F.col("text_b").contains(F.col("text_a")))
       .select("a", "b", "containment")
+  }
+
+  /** Capped posting-list buckets (f → bounded member array), hot
+    * fingerprints tamed by the SAME strategy triple as the LSH band
+    * buckets (`cfg.hotBucketStrategy`, parity-tested in
+    * SubstringDedupSpec) — a site-wide boilerplate block ≥
+    * winnowW+winnowWin−1 chars shared by 10^8 pages is exactly the
+    * mega-key this pass meets at web scale:
+    *
+    *  - "window": one shuffle on f; the window count co-locates ALL
+    *    postings of one fingerprint in a task BEFORE the cap filter —
+    *    cheapest, safe only while no fingerprint is truly hot.
+    *  - "salted": posting sizes aggregated per (f, salt) first, rolled
+    *    up, and eligibility (2 ≤ pn ≤ cap) joined back BEFORE the only
+    *    shuffle that co-locates a fingerprint — no task ever holds an
+    *    uncapped posting list.
+    *  - "auto" (default): probe the ACTUAL max posting-list size from a
+    *    map-side-combined counts pass (eager — `eligible` is cached by
+    *    the caller), window while ≤ 4× the cap, salted beyond. */
+  private def cappedPostingBuckets(eligible: DataFrame, cfg: DedupConfig): DataFrame = {
+    val postings = eligible.select(F.col("doc_id"), F.col("len"), F.col("nfp"),
+      F.explode(F.col("fp")).as("f"))
+    def collectMembers(capped: DataFrame): DataFrame =
+      capped.groupBy("f")
+        .agg(F.collect_list(F.struct(F.col("doc_id"), F.col("len"), F.col("nfp"))).as("ms"))
+    def windowForm: DataFrame =
+      collectMembers(postings.withColumn("pn",
+        F.count(F.lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("f")))
+        .where(F.col("pn").between(2, cfg.maxFingerprintPostings))
+        .drop("pn"))
+    def saltedForm: DataFrame = {
+      val sizes = postings
+        .withColumn("salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(cfg.saltBuckets)))
+        .groupBy("f", "salt").count()
+        .groupBy("f").agg(F.sum("count").as("pn"))
+      val ok = sizes.where(F.col("pn").between(2, cfg.maxFingerprintPostings))
+        .select("f")
+      collectMembers(postings.join(ok.hint("shuffle_hash"), Seq("f")))
+    }
+    cfg.hotBucketStrategy match {
+      case "window" => windowForm
+      case "salted" => saltedForm
+      case _ => // auto: one map-side-combined probe of the real skew
+        val maxPn = postings.groupBy("f").count()
+          .agg(F.coalesce(F.max("count"), F.lit(0L))).head().getLong(0)
+        if (maxPn <= 4L * cfg.maxFingerprintPostings) windowForm else saltedForm
+    }
   }
 }

@@ -54,6 +54,35 @@ class LshSpec extends SparkSpec {
     }
   }
 
+  test("auto picks salted on a planted mega-bucket, output-identical, calm pairs intact") {
+    val spark2 = spark
+    import spark2.implicits._
+    // mega group: 30 docs share one signature → every band bucket holds 30
+    // members = 15× the cap of 2 (> 4×cap, the auto salted trigger);
+    // pair groups: 2-member signatures sit exactly at the cap → pairs must
+    // still be emitted, so the salted branch is parity-checked against a
+    // NONEMPTY pair set while the mega bucket is dropped
+    val mega = (0 until 30).map(i => (100L + i, Array.fill(128)(7L)))
+    val pairGroups = (0 until 5).flatMap(g => Seq(
+      (200L + 2 * g, Array.fill(128)(1000L + g)),
+      (201L + 2 * g, Array.fill(128)(1000L + g))))
+    val sigs = (mega ++ pairGroups).toDF("doc_id", "minhash").cache()
+    def run(st: String): Seq[(Long, Long)] =
+      Lsh.candidatePairs(sigs,
+        DedupConfig(maxBucketSize = 2, hotBucketStrategy = st))._1
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val auto = run("auto")
+    assert(auto === (0 until 5).map(g => (200L + 2 * g, 201L + 2 * g)))
+    assert(auto === run("window"))
+    assert(auto === run("salted"))
+    assert(!auto.exists { case (a, b) => a >= 100L && a < 130L }) // mega dropped
+    // the auto probe's stats pass reports the mega bucket at every band
+    val (_, overflow) = Lsh.candidatePairs(sigs,
+      DedupConfig(maxBucketSize = 2, hotBucketStrategy = "auto"))
+    assert(overflow.head().getLong(0) >= 32L)
+    sigs.unpersist()
+  }
+
   test("GraphX CC fallback agrees with the DataFrame loop") {
     val spark2 = spark
     import spark2.implicits._
