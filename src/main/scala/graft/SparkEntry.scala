@@ -200,13 +200,21 @@ object SparkEntry {
         .select(F.col("doc_id"),
           F.conv(F.substring(F.md5(F.encode(F.col("gram"), "UTF-8")), 1, 15), 16, 10)
             .cast("long").as("hv"))
-      val voteCols = (0 until 60).map(b =>
-        F.sum(F.when(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1L)) === 1L, 1L)
-          .otherwise(-1L)).as(s"v$b"))
-      val votes = grams.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-      val sigs = votes.select(F.col("doc_id"),
-        (0 until 60).map(b => F.when(F.col(s"v$b") > 0, F.lit(1L << b)).otherwise(0L))
-          .reduce(_ + _).as("sim"))
+      // ones-count arithmetic (sum of raw bits, branch-free agg update —
+      // measured ~25% cheaper than the ±1 CASE sums): the ±1 vote sum is
+      // v_b = 2·ones_b − n, so "v_b > 0" ⟺ "2·ones_b > n" — bit-identical
+      // to the oracle's CASE form
+      val oneCols = (0 until 60).map(b =>
+        F.sum(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1L))).as(s"o$b"))
+      val votes = grams.groupBy("doc_id")
+        .agg(oneCols.head, (oneCols.tail :+ F.count(F.lit(1)).as("n")): _*)
+      // tracked cache: the pigeonhole join consumes the signature relation
+      // three times (size counts + both join sides) — uncached, the whole
+      // gram-explode vote aggregation would run three times
+      val sigs = graft.Caches.track(votes.select(F.col("doc_id"),
+        (0 until 60).map(b =>
+          F.when(F.col(s"o$b") * 2 > F.col("n"), F.lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("sim")))
       // chunk-posting cap pinned unbounded: the brute-force SQL oracle has
       // no cap to mirror (production callers keep the default cap)
       SimHashJoin.nearPairs(sigs, maxHamming = 3, maxChunkPostings = Long.MaxValue)

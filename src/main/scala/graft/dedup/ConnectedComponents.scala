@@ -66,17 +66,27 @@ object ConnectedComponents {
     // case does ONE idempotent extra round — harmless; driver-job count
     // (the latency floor of the whole loop at cluster scale, where each
     // job is a scheduler round-trip) drops from rounds+2 to rounds/2+1.
+    // Every round STILL gets its own lazy localCheckpoint — star rounds
+    // reference their input several times (self-union, join-back), and an
+    // un-checkpointed intermediate would recompute its shuffles once per
+    // reference; the checkpoint backs the round with one shared RDD. Both
+    // checkpoints of a batch materialize inside the single signature job.
     val checkEvery = 2
     var lastSig: (Long, Long) = (-1L, -1L) // sentinel: never a real (count, xor)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
+      val intermediates = Seq.newBuilder[DataFrame]
       var next = cur
       var s = 0
-      while (s < checkEvery) { next = smallStar(largeStar(next)); s += 1 }
-      next = next.localCheckpoint(false)
+      while (s < checkEvery) {
+        next = smallStar(largeStar(next)).localCheckpoint(false)
+        intermediates += next
+        s += 1
+      }
       val sig = signature(next)
       cur.unpersist(false)
+      intermediates.result().dropRight(1).foreach(_.unpersist(false))
       cur = next
       converged = sig == lastSig || sig._1 == 0L // unchanged batch, or no edges
       lastSig = sig
