@@ -57,6 +57,14 @@ object SparkEntry {
   private val winnowW = 24
   private val winnowWin = 16
 
+  /** q_winnow_fingerprints per-doc work cap, mirrored in the oracle SQL:
+    * only the first 2,000 chars are fingerprinted, so one pathological
+    * multi-MB page cannot dominate a task's explode volume (the corpus's
+    * docs are ≤ 577 chars at every test SF — the cap changes no result
+    * there, it bounds the 100 TB worst case). The production pass caps
+    * differently (posting-list caps in SubstringDedup). */
+  private val winnowMaxChars = 2000
+
   /** q_ann_ivf_top1 codebook config — mirrored in its oracle SQL. */
   private val ivfCentroids = 16
   private val ivfProbes = 2
@@ -359,6 +367,8 @@ object SparkEntry {
         val w = Window.partitionBy("doc_id").orderBy("i")
           .rowsBetween(Window.currentRow, winnowWin - 1)
         docs(s, dir)
+          .select(F.col("doc_id"),
+            F.substring(F.col("text"), 1, winnowMaxChars).as("text"))
           .select(F.col("doc_id"), F.col("text"),
             (F.length(F.col("text")) - winnowW + 1).as("ng"))
           .where(F.col("ng") >= 1)
@@ -507,13 +517,15 @@ object SparkEntry {
     },
 
     "q_winnow_fingerprints" ->
-      s"""WITH gs AS (
+      s"""WITH capped AS (
+         |  SELECT doc_id, substring(text, 1, $winnowMaxChars) AS text FROM documents),
+         |gs AS (
          |  SELECT doc_id,
          |    CASE WHEN length(text) >= $winnowW THEN
          |      list_transform(range(1, length(text) - $winnowW + 2),
          |        i -> ('0x' || substring(md5(substring(text, CAST(i AS INT), $winnowW)), 1, 15))::BIGINT)
          |    ELSE []::BIGINT[] END AS g
-         |  FROM documents),
+         |  FROM capped),
          |fps AS (
          |  SELECT doc_id,
          |    CASE WHEN len(g) = 0 THEN []::BIGINT[]

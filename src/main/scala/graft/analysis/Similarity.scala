@@ -333,6 +333,68 @@ object Similarity {
     cents
   }
 
+  /** Deterministic k-means++-style codebook init (D² sampling): seed with
+    * the min-md5-rank vector, then draw each next centroid with
+    * probability ∝ its squared distance to the nearest chosen centroid —
+    * the Arthur/Vassilvitskii k-means++ rule — using the splitmix64
+    * stream for the draws, so the codebook is a pure function of the data
+    * (no RNG state, reproducible across runs and partitionings). Runs on
+    * a rank-deterministic sample of `sampleSize` unit vectors (TakeOrdered
+    * — no full sort) collected to the driver: k-means++ is inherently
+    * sequential in k, and a few thousand sample points bound the O(k·S)
+    * driver work while preserving init quality. Production-only (the
+    * D²-weighted draw chain is not SQL-replayable; the oracle pins the
+    * plain md5-rank sample init). */
+  private def kmeansppInit(e: DataFrame, numCentroids: Int,
+                           sampleSize: Int = 4096): Array[(Long, Array[Long])] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val samp = e
+      .withColumn("rk", md5Rank(F.col("vec_id")))
+      .orderBy("rk", "vec_id").limit(sampleSize)
+      .select(F.col("vec_id"),
+        F.transform(F.col("emb"), x => x / F.col("nrm")).as("u"))
+      .as[(Long, Array[Double])].collect()
+    val n = samp.length
+    val k = math.min(numCentroids, n)
+    val chosen = new Array[Int](k)
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      val last = samp(chosen(c - 1))._2
+      var total = 0.0
+      var i = 0
+      while (i < n) {
+        var d = 0.0; var t = 0
+        while (t < last.length) { d += samp(i)._2(t) * last(t); t += 1 }
+        val dist = math.max(0.0, 2.0 - 2.0 * d) // ||x−c||² on unit vectors
+        if (dist < minD(i)) minD(i) = dist
+        total += minD(i)
+        i += 1
+      }
+      // deterministic D² draw: u ∈ [0,1) from the splitmix64 stream
+      val u = (graft.functions.HashUtil.streamAt(
+        graft.functions.HashUtil.DefaultSeed, c.toLong) >>> 11) * 1.1102230246251565e-16
+      var target = u * total
+      var pick = -1
+      i = 0
+      while (i < n && pick < 0) {
+        if (minD(i) > 0) {
+          target -= minD(i)
+          if (target <= 0) pick = i
+        }
+        i += 1
+      }
+      if (pick < 0) pick = minD.indexWhere(_ > 0) // residual fp mass
+      if (pick < 0) pick = c % n // all-identical degenerate corpus
+      chosen(c) = pick
+      c += 1
+    }
+    chosen.map(ci => (samp(ci)._1,
+      samp(ci)._2.map(x => math.floor(x * 1000000.0 + 0.5).toLong)))
+      .sortBy(_._1).toArray
+  }
+
   /** IVF (inverted-file) approximate top-k — the codebook-based scale
     * path, complementing the hash-based [[lshTopK]]:
     *
@@ -357,27 +419,48 @@ object Similarity {
     * design and rises with `nProbe`.
     *
     * `lloydRounds` > 0 runs that many Lloyd refinement iterations on the
-    * sampled codebook before building the index (assign all vectors to
+    * initial codebook before building the index (assign all vectors to
     * their best cell, recenter each cell on the mean of its members,
     * re-normalize): recall per probe rises because cells track the data
     * distribution instead of a random sample. Each round costs one
     * assignment scan + a (cell, component) partial-sum aggregation whose
-    * shuffle is ≤ C·dim rows per task — corpus-size-independent. The
-    * refined path is production-only (float means are not SQL-replayable;
-    * the oracle pins lloydRounds = 0). */
+    * shuffle is ≤ C·dim rows per task — corpus-size-independent.
+    *
+    * `init` picks the codebook seeding: "sample" (default) = the
+    * `numCentroids` smallest-md5-rank vectors — fully SQL-replayable, the
+    * oracle path; "kmeanspp" = deterministic D²-sampled k-means++ on a
+    * rank-deterministic sample ([[kmeansppInit]]) — the production path
+    * (better cell coverage, so higher recall per probe; pair with
+    * `lloydRounds` > 0).
+    *
+    * `assignTopA` > 1 stores every database vector in its `assignTopA`
+    * best cells instead of one (overlapping IVF / index-side
+    * multi-assignment): boundary vectors — whose true neighbors sit just
+    * across a Voronoi face, the dominant recall loss once Lloyd has
+    * converged — become reachable from both sides. Index size and the
+    * probe join grow ×a (still bucketed, still capped per cell); recall
+    * at fixed nProbe rises the way query-side probing alone cannot.
+    *
+    * Refined / k-means++ / multi-assigned layouts are production-only
+    * (not SQL-replayable; the oracle pins init="sample", lloydRounds=0,
+    * assignTopA=1). */
   def ivfTopK(embeddings: DataFrame, k: Int, numCentroids: Int = 16,
               nProbe: Int = 2, maxCell: Int = 1000000,
-              lloydRounds: Int = 0): DataFrame = {
+              lloydRounds: Int = 0, init: String = "sample",
+              assignTopA: Int = 1): DataFrame = {
     val e = prepared(embeddings)
     val spark = e.sparkSession
     import spark.implicits._
     // codebook: C·dim quantized unit centroids — corpus-size-independent
-    val sample = e.select(F.col("vec_id"), F.col("emb"), F.col("nrm"))
-      .withColumn("rk", md5Rank(F.col("vec_id")))
-      .orderBy("rk", "vec_id").limit(numCentroids)
-      .select(F.col("vec_id"),
-        F.transform(F.col("emb"), x => F.floor(x / F.col("nrm") * 1000000.0d + 0.5d)).as("qc"))
-      .as[(Long, Array[Long])].collect().sortBy(_._1)
+    val sample = init match {
+      case "kmeanspp" => kmeansppInit(e, numCentroids)
+      case _ => e.select(F.col("vec_id"), F.col("emb"), F.col("nrm"))
+        .withColumn("rk", md5Rank(F.col("vec_id")))
+        .orderBy("rk", "vec_id").limit(numCentroids)
+        .select(F.col("vec_id"),
+          F.transform(F.col("emb"), x => F.floor(x / F.col("nrm") * 1000000.0d + 0.5d)).as("qc"))
+        .as[(Long, Array[Long])].collect().sortBy(_._1)
+    }
     val cents = refineCentroids(e, sample, lloydRounds)
 
     // cell ranking per vector: integer dot vs every centroid, best first
@@ -397,7 +480,8 @@ object Similarity {
       quantizedUnit(F.col("emb"), F.col("nrm")).as("qu"))
     val ranked = unit.withColumn("ranks", cellRanks(F.col("emb")))
     val assigned = ranked.select(F.col("vec_id"), F.col("qu"),
-      F.element_at(F.col("ranks"), 1).getField("cid").as("cell"))
+      F.explode(F.slice(F.col("ranks"), 1, assignTopA)).as("a"))
+      .select(F.col("vec_id"), F.col("qu"), F.col("a").getField("cid").as("cell"))
     val capped = {
       val ok = assigned.groupBy("cell").count()
         .where(F.col("count").between(1, maxCell)).select("cell")
@@ -412,6 +496,7 @@ object Similarity {
       .where(F.col("vec_id") =!= F.col("nn_id"))
       .select(F.col("vec_id"), F.col("nn_id"),
         intDot(F.col("qq"), F.col("qc")).as("cos"))
+      .distinct() // a candidate reached via several (probe, replica) cells
     val w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc, F.col("nn_id"))
     cand.withColumn("rank", F.row_number().over(w))
       .where(F.col("rank") <= k)
