@@ -49,17 +49,19 @@ object StreamingDemo {
     q.stop()
 
     // keyed near-dup stream on a second watched directory: ids-only
-    // bucket state + doc_id-keyed signature joins (requires the
-    // correctness-check escape hatch — see the operator's scaladoc)
+    // bucket state + doc_id-keyed signature joins, cross-band dedup
+    // chained (one emission per pair), the correctness-check escape
+    // hatch scoped to THIS query start and restored after
     val in2 = s"$work/in2"
     Files.createDirectories(Paths.get(in2))
-    spark.conf.set(
-      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     val docs2 = spark.readStream.schema(schema).json(in2)
     val cfg = graft.dedup.DedupConfig(allowedLangs = None)
-    val q2 = StreamingDedup.nearDupPairsStreamKeyed(docs2, "ts", "30 minutes", cfg)
-      .writeStream.format("memory").queryName("near_demo_out")
-      .outputMode("append").start()
+    val q2 = StreamingDedup.withStatefulCheckDisabled(spark) {
+      StreamingDedup.distinctPairs(
+        StreamingDedup.nearDupPairsStreamKeyed(docs2, "ts", "30 minutes", cfg))
+        .writeStream.format("memory").queryName("near_demo_out")
+        .outputMode("append").start()
+    }
     def page(id: Long): graft.io.SyntheticPage = graft.io.SyntheticCorpus.pageAt(42L, id)
     def dropNear(name: String, ids: (Long, String)*): Unit = {
       val rows = ids.map { case (id, ts) =>
@@ -73,10 +75,9 @@ object StreamingDemo {
     dropNear("n1", 11L -> "2024-01-01T00:00:00Z", 13L -> "2024-01-01T00:01:00Z")
     dropNear("n2", 16L -> "2024-01-01T00:03:00Z", 14L -> "2024-01-01T00:04:00Z")
     q2.stop()
-    // raw emissions repeat once per shared band bucket (documented
-    // contract); consumers dedupe — here by a batch distinct
-    val nearPairs = spark.table("near_demo_out")
-      .select("id_a", "id_b").distinct().count()
+    // distinctPairs folded the cross-band dedup into the query: emission
+    // count IS the pair count
+    val nearPairs = spark.table("near_demo_out").count()
     println(s"NEAR-PAIRS-FOUND=$nearPairs (expect 2: 11~16 near, 13~14 exact)")
 
     // probe: the same operator on a BATCH frame must fail loudly, not

@@ -51,6 +51,43 @@ final case class StreamPair(id_a: Long, id_b: Long, est_jaccard: Double,
   */
 object StreamingDedup {
 
+  private val CheckCorrectnessKey =
+    "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+
+  /** Scoped escape hatch for [[nearDupPairsStreamKeyed]] (and any chain
+    * that appends a stateful operator behind flatMapGroupsWithState):
+    * disables the analyzer's stateful-operator correctness check, runs
+    * `start` — which must START the streaming query, since the check
+    * fires at query analysis — and RESTORES the previous conf value.
+    * A query keeps the analysis-time setting for its lifetime, so the
+    * started query stays exempt while every OTHER streaming query in the
+    * session — started outside this scope — keeps its analyzer guard
+    * (the session-global footgun this helper exists to remove). */
+  def withStatefulCheckDisabled[T](spark: org.apache.spark.sql.SparkSession)
+                                  (start: => T): T = {
+    val prev = spark.conf.getOption(CheckCorrectnessKey)
+    spark.conf.set(CheckCorrectnessKey, "false")
+    try start
+    finally prev match {
+      case Some(v) => spark.conf.set(CheckCorrectnessKey, v)
+      case None => spark.conf.unset(CheckCorrectnessKey)
+    }
+  }
+
+  /** Cross-band pair dedup for the near-dup pair streams: one emission
+    * per (id_a, id_b) per watermark window — the streaming analog of the
+    * batch pass's `distinct()`, folded onto the operator output
+    * ([[nearDupPairsStreamKeyed]] emits once per SHARED band bucket
+    * otherwise). State is watermark-bounded on the pair key; the input
+    * must already carry an event-time watermark (the keyed operator's
+    * output does — re-declaring one here would be a disallowed watermark
+    * redefinition). Adds a stateful operator behind the candidate fMGWS,
+    * so the chained query must start inside
+    * [[withStatefulCheckDisabled]] — sound for the keyed variant, whose
+    * emitted `ts` is provably ≥ the watermark. */
+  def distinctPairs(pairs: DataFrame): DataFrame =
+    pairs.dropDuplicatesWithinWatermark("id_a", "id_b")
+
   /** Normalized content fingerprint used as the dedup key. */
   def withFingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("fp", TextAnalysis.fingerprint(F.col(textCol)))
@@ -244,21 +281,23 @@ object StreamingDedup {
     * operator promises — verify identically in both variants.
     *
     * Same emission contract as [[nearDupPairsStream]]: a pair sharing
-    * several bands can emit once per shared band bucket; consumers
-    * needing distinct pairs dedupe downstream. Input contract as in the
-    * batch pipeline: url is THE document key — a url re-crawled within
-    * the watermark window fans out the verify joins (route re-crawls
+    * several bands can emit once per shared band bucket; chain
+    * [[distinctPairs]] for one emission per pair per watermark window
+    * (the batch pass's `distinct()`). Input contract as in the batch
+    * pipeline: url is THE document key — a url re-crawled within the
+    * watermark window fans out the verify joins (route re-crawls
     * through ingest dedup first, as batch callers do via dedupeByUrl).
     *
-    * REQUIRES `spark.sql.streaming.statefulOperator.checkCorrectness
-    * .enabled=false`: the analyzer flags ANY stateful operator after
-    * flatMapGroupsWithState because it cannot reason about emitted
-    * timestamps. Here the pattern is provably within the watermark
-    * contract: candidates are stamped with the NEWEST member's event
-    * time, and arrivals already behind the watermark are dropped inside
-    * the operator (below) — so no emitted row is ever older than the
-    * global watermark, and the joins can discard nothing that on-time
-    * data produced. */
+    * REQUIRES the stateful-operator correctness check disabled AT QUERY
+    * START — use [[withStatefulCheckDisabled]], which scopes the conf to
+    * this query and restores it: the analyzer flags ANY stateful
+    * operator after flatMapGroupsWithState because it cannot reason
+    * about emitted timestamps. Here the pattern is provably within the
+    * watermark contract: candidates are stamped with the NEWEST member's
+    * event time, and arrivals already behind the watermark are dropped
+    * inside the operator (below) — so no emitted row is ever older than
+    * the global watermark, and the joins can discard nothing that
+    * on-time data produced. */
   def nearDupPairsStreamKeyed(docs: DataFrame, tsCol: String, watermark: String,
                               cfg: DedupConfig = DedupConfig(),
                               maxBucketState: Int = 64): DataFrame = {

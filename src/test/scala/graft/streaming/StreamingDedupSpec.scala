@@ -114,29 +114,37 @@ class StreamingDedupSpec extends SparkSpec {
     val cfg = DedupConfig(allowedLangs = None)
     val input = MemoryStream[(String, String, Timestamp)]
     val docs = input.toDF().toDF("url", "text", "ts")
-    // required by the operator (see its scaladoc): the analyzer flags any
-    // stateful op after fMGWS; the operator upholds the watermark contract
+    // scoped escape hatch (see the operator's scaladoc): the analyzer
+    // flags any stateful op after fMGWS; the operator upholds the
+    // watermark contract, and the helper restores the conf after start.
+    // distinctPairs chained on top = ONE emission per pair per window.
     val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-    spark.conf.set(checkKey, "false")
-    try {
-      val q = StreamingDedup.nearDupPairsStreamKeyed(docs, "ts", "30 minutes", cfg)
+    spark.conf.set(checkKey, "true")
+    val q = StreamingDedup.withStatefulCheckDisabled(spark) {
+      StreamingDedup.distinctPairs(
+        StreamingDedup.nearDupPairsStreamKeyed(docs, "ts", "30 minutes", cfg))
         .writeStream.format("memory").queryName("near_keyed_out")
         .outputMode("append").start()
+    }
+    // the helper restored the session conf; only the started query is exempt
+    assert(spark.conf.get(checkKey) === "true")
 
-      input.addData(page(11, 10), page(13, 11), page(0, 11), page(1, 12))
-      q.processAllAvailable()
-      // dups arrive in LATER micro-batches → candidates via ids-only bucket
-      // state, signatures recovered through the doc_id-keyed join state.
-      // page 16 arrives OUT OF ORDER (event time min 5, OLDER than its
-      // stored partner 11 at min 10, still inside the watermark): the
-      // candidate must be stamped with the newest member time or the
-      // verify interval join silently drops the pair.
-      input.addData(page(16, 5), page(14, 12))
-      q.processAllAvailable()
-      q.stop()
-    } finally spark.conf.set(checkKey, "true")
+    input.addData(page(11, 10), page(13, 11), page(0, 11), page(1, 12))
+    q.processAllAvailable()
+    // dups arrive in LATER micro-batches → candidates via ids-only bucket
+    // state, signatures recovered through the doc_id-keyed join state.
+    // page 16 arrives OUT OF ORDER (event time min 5, OLDER than its
+    // stored partner 11 at min 10, still inside the watermark): the
+    // candidate must be stamped with the newest member time or the
+    // verify interval join silently drops the pair.
+    input.addData(page(16, 5), page(14, 12))
+    q.processAllAvailable()
+    q.stop()
 
     val rows = spark.table("near_keyed_out").collect()
+    // cross-band dedup folded in: exactly one row per pair, not one per
+    // shared band bucket
+    assert(rows.length === 2, s"expected 2 deduped emissions, got ${rows.length}")
     val ids = rows.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     val hash = Seq(11L, 13L, 16L, 14L).map { i =>
       i -> spark.sql(
