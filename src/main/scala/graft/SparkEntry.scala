@@ -73,6 +73,53 @@ object SparkEntry {
   /** q_window_quality token window — mirrored in its oracle SQL. */
   private val qualityWin = 8
 
+  // ---- production-expression oracle machinery ------------------------------
+  // The engine's signature expressions (ShingleHashes/SimHash64/
+  // WinnowedFingerprints) are wrapping 64-bit arithmetic — not expressible
+  // in overflow-checked SQL directly, but fully replayable in DuckDB by
+  // computing in HUGEINT mod 2^64 (products of a 64-bit value and a 32-bit
+  // half stay under 2^96 < 2^127) and hopping to signed BIGINT for xor.
+  // These helpers GENERATE that SQL; q_winnow_production and
+  // q_simhash_production below close the last driver-oracle gap (the md5
+  // variants checked the layout, these check the production expressions).
+  // The SQL folds case via lower(text): identical to the expressions'
+  // ASCII A-Z fold on this corpus (pure ASCII — asserted by charset scan).
+  private object Mod64Sql {
+    val M64 = "18446744073709551616::HUGEINT"
+    val Mix1 = 0xBF58476D1CE4E5B9L
+    val Mix2 = 0x94D049BB133111EBL
+    val Prime = 0x100000001B3L
+    val Fnv0 = 0xCBF29CE484222325L
+    val Seed: Long = graft.functions.HashUtil.DefaultSeed
+    def uns(c: Long): String = java.lang.Long.toUnsignedString(c)
+    def u2b(e: String): String =
+      s"(CASE WHEN $e >= 9223372036854775808::HUGEINT THEN CAST($e - $M64 AS BIGINT) ELSE CAST($e AS HUGEINT)::BIGINT END)"
+    def b2u(e: String): String =
+      s"(CASE WHEN $e < 0 THEN CAST($e AS HUGEINT) + $M64 ELSE CAST($e AS HUGEINT) END)"
+    def xoru(a: String, b: String): String = b2u(s"xor(${u2b(a)}, ${u2b(b)})")
+    def mulmod(u: String, c: Long): String = {
+      val hi = c >>> 32; val lo = c & 0xFFFFFFFFL
+      s"((($u) * ${lo}::HUGEINT + ((($u) * ${hi}::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $M64)"
+    }
+    /** splitmix64 finalizer as chained per-element list stages (CTE names
+      * `p1..p5` reading/writing list column `g` keyed by doc_id), starting
+      * from CTE `from`. Sequential stages keep the generated SQL linear —
+      * nesting would duplicate the subtree ~6× per stage. */
+    def mix64ListStages(from: String, p: String): String =
+      s"""${p}1 AS (SELECT doc_id, list_transform(g, u -> ${xoru("u", "(u >> 30)")}) AS g FROM $from),
+         |${p}2 AS (SELECT doc_id, list_transform(g, u -> ${mulmod("u", Mix1)}) AS g FROM ${p}1),
+         |${p}3 AS (SELECT doc_id, list_transform(g, u -> ${xoru("u", "(u >> 27)")}) AS g FROM ${p}2),
+         |${p}4 AS (SELECT doc_id, list_transform(g, u -> ${mulmod("u", Mix2)}) AS g FROM ${p}3),
+         |${p}5 AS (SELECT doc_id, list_transform(g, u -> ${xoru("u", "(u >> 31)")}) AS g FROM ${p}4)""".stripMargin
+  }
+
+  /** q_winnow_production gram/window sizes — mirrored in its oracle SQL. */
+  private val prodWinnowW = 24
+  private val prodWinnowWin = 16
+
+  /** q_simhash_production shingle size (the pipeline default). */
+  private val prodShingleK = 9
+
   private val dupSqlDocs =
     """SELECT doc_id, text FROM documents
       |UNION ALL
@@ -380,7 +427,26 @@ object SparkEntry {
           .where(F.col("i") <= F.greatest(F.col("ng") - winnowWin + 1, F.lit(1)))
           .select(F.col("doc_id"), F.col("wmin").as("fp"))
           .distinct()
-      })
+      }),
+
+    // --- production signature expressions, driver-oracled -----------------
+    "q_winnow_production" -> ((s, dir) =>
+      // the PRODUCTION WinnowedFingerprints Catalyst expression (wrapping
+      // 64-bit rolling hash + splitmix64), replayed in DuckDB via the
+      // Mod64Sql machinery — the md5 variant above checks the winnow
+      // layout, this checks the real expression bit-for-bit
+      docs(s, dir).select(F.col("doc_id"),
+        F.explode(winnowedFingerprints(F.col("text"), prodWinnowW, prodWinnowWin,
+          Mod64Sql.Seed)).as("fp"))),
+
+    "q_simhash_production" -> ((s, dir) =>
+      // the PRODUCTION ShingleHashes → SimHash64 expression chain (FNV-1a
+      // word hashes, 9-word polynomial shingles, splitmix64, 64-bit votes)
+      docs(s, dir)
+        .select(F.col("doc_id"),
+          simhash(shingles(F.col("text"), prodShingleK, Mod64Sql.Seed),
+            Mod64Sql.Seed).as("sim"))
+        .where(F.col("sim").isNotNull))
   )
 
   // -------------------------------------------------------------- oracleSql
@@ -721,6 +787,82 @@ object SparkEntry {
         |       320 + octet_length(encode(text)) % 1280 AS width,
         |       240 + octet_length(encode(text)) % 720 AS height,
         |       1 + octet_length(encode(text)) % 24 AS n_frames
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q_winnow_production" -> {
+      import Mod64Sql._
+      // Base^(w-1-j) mod 2^64 — the per-position weights of the rolling
+      // polynomial, precomputed with JVM wrapping arithmetic
+      val pow = {
+        val arr = new Array[Long](prodWinnowW)
+        arr(prodWinnowW - 1) = 1L
+        var j = prodWinnowW - 2
+        while (j >= 0) { arr(j) = arr(j + 1) * Prime; j -= 1 }
+        arr
+      }
+      val powLit = pow.map(p => uns(p) + "::HUGEINT").mkString("[", ",", "]")
+      s"""WITH docs0 AS (SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= $prodWinnowW),
+         |cc AS (SELECT doc_id, list_transform(range(1, length(t)+1), i -> ord(substring(t, CAST(i AS INT), 1))::HUGEINT) AS c FROM docs0),
+         |pw AS (SELECT $powLit AS pw),
+         |g0 AS (SELECT doc_id, list_transform(range(1, len(c) - $prodWinnowW + 2),
+         |        p -> CAST(list_sum(list_transform(range(0, $prodWinnowW), j -> c[CAST(p+j AS INT)] * pw[CAST(j+1 AS INT)])) % $M64 AS HUGEINT)) AS g
+         |      FROM cc, pw),
+         |sx AS (SELECT doc_id, list_transform(g, u -> ${b2u(s"xor(${u2b("u")}, $Seed)")}) AS g FROM g0),
+         |${mix64ListStages("sx", "p")},
+         |sg AS (SELECT doc_id, list_transform(g, u -> ${u2b("u")}) AS g FROM p5),
+         |fps AS (SELECT doc_id,
+         |         CASE WHEN len(g) >= $prodWinnowWin THEN list_distinct(
+         |              list_transform(range(1, len(g) - $prodWinnowWin + 2),
+         |                t -> list_min(list_slice(g, CAST(t AS INT), CAST(t + $prodWinnowWin - 1 AS INT)))))
+         |              ELSE [list_min(g)] END AS f
+         |        FROM sg)
+         |SELECT doc_id, unnest(f) AS fp FROM fps""".stripMargin
+    },
+
+    "q_simhash_production" -> {
+      import Mod64Sql._
+      val mulp = s"((acc * ${Prime}::HUGEINT) % $M64)"
+      val onesSums = (0 until 64)
+        .map(b => s"sum(CAST((u >> $b) % 2 AS BIGINT)) AS o$b")
+        .mkString(",\n|      ")
+      val pack = (0 until 64)
+        .map(b => s"(CASE WHEN 2*o$b > n THEN (1::HUGEINT << $b) ELSE 0::HUGEINT END)")
+        .mkString(" + ")
+      s"""WITH docs0 AS (SELECT doc_id, lower(text) AS t FROM documents),
+         |wl AS (SELECT doc_id, regexp_extract_all(t, '[a-z0-9]+') AS ws FROM docs0),
+         |wr AS (SELECT doc_id, unnest(range(1, len(ws)+1)) AS widx, unnest(ws) AS w FROM wl WHERE len(ws) > 0),
+         |f0 AS (SELECT doc_id, widx,
+         |        list_reduce(list_prepend(${uns(Fnv0)}::HUGEINT,
+         |          list_transform(range(1, length(w)+1), i -> ord(substring(w, CAST(i AS INT), 1))::HUGEINT)),
+         |          (acc, x) -> ${mulmod(xoru("acc", "x"), Prime)}) AS h
+         |       FROM wr),
+         |f1 AS (SELECT doc_id, widx, ${xoru("h", "(h >> 30)")} AS h FROM f0),
+         |f2 AS (SELECT doc_id, widx, ${mulmod("h", Mix1)} AS h FROM f1),
+         |f3 AS (SELECT doc_id, widx, ${xoru("h", "(h >> 27)")} AS h FROM f2),
+         |f4 AS (SELECT doc_id, widx, ${mulmod("h", Mix2)} AS h FROM f3),
+         |f5 AS (SELECT doc_id, widx, ${xoru("h", "(h >> 31)")} AS h FROM f4),
+         |wlist AS (SELECT doc_id, array_agg(h ORDER BY widx) AS wh FROM f5 GROUP BY doc_id),
+         |praw AS (SELECT doc_id,
+         |          CASE WHEN len(wh) >= $prodShingleK THEN
+         |            list_transform(range(1, len(wh) - $prodShingleK + 2),
+         |              p -> list_reduce(list_prepend(${Seed}::HUGEINT, list_slice(wh, CAST(p AS INT), CAST(p + $prodShingleK - 1 AS INT))),
+         |                     (acc, x) -> ($mulp + x) % $M64))
+         |          ELSE [list_reduce(list_prepend(${Seed}::HUGEINT, wh),
+         |                  (acc, x) -> ($mulp + x) % $M64)] END AS g
+         |         FROM wlist),
+         |${mix64ListStages("praw", "m")},
+         |md AS (SELECT doc_id, list_distinct(g) AS g FROM m5),
+         |x1 AS (SELECT doc_id, unnest(g) AS u FROM md),
+         |x2 AS (SELECT doc_id, ${b2u(s"xor(${u2b("u")}, $Seed)")} AS u FROM x1),
+         |x3 AS (SELECT doc_id, ${xoru("u", "(u >> 30)")} AS u FROM x2),
+         |x4 AS (SELECT doc_id, ${mulmod("u", Mix1)} AS u FROM x3),
+         |x5 AS (SELECT doc_id, ${xoru("u", "(u >> 27)")} AS u FROM x4),
+         |x6 AS (SELECT doc_id, ${mulmod("u", Mix2)} AS u FROM x5),
+         |x7 AS (SELECT doc_id, ${xoru("u", "(u >> 31)")} AS u FROM x6),
+         |v AS (SELECT doc_id, count(*) AS n,
+         |      $onesSums
+         |      FROM x7 GROUP BY doc_id)
+         |SELECT doc_id, ${u2b(s"($pack)")} AS sim FROM v""".stripMargin
+    }
   )
 }
