@@ -56,22 +56,21 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint(false)
 
-    // Driver-job economy: star rounds are batched in pairs and convergence
-    // is checked once per BATCH — the potential function of Kiveris et al.
-    // decreases monotonically (no 2-cycles), so "signature unchanged over
-    // two rounds" still implies fixpoint, at half the driver jobs. The
-    // initial signature job is folded into the first batch the same way
-    // (sentinel lastSig): an already-converged input pays one cheap batch
-    // over its fixpoint edge set instead of a dedicated probe job. Worst
-    // case does ONE idempotent extra round — harmless; driver-job count
-    // (the latency floor of the whole loop at cluster scale, where each
-    // job is a scheduler round-trip) drops from rounds+2 to rounds/2+1.
-    // Every round STILL gets its own lazy localCheckpoint — star rounds
+    // Driver-job economy: the initial signature probe is folded into the
+    // first round (sentinel lastSig) — an already-converged input pays one
+    // cheap round over its fixpoint edge set instead of a dedicated probe
+    // job. Convergence is checked EVERY round (checkEvery = 1): each
+    // check rides the round's own materialization job, so it costs no
+    // extra job — whereas batching rounds between checks (tried at 2 in
+    // this round's history) runs up to checkEvery extra FULL star rounds
+    // past the fixpoint, and at converged-star edge volumes those extra
+    // shuffles cost ~2× what the saved driver round-trips recover
+    // (measured: CC stage 4.4 s → 8.4 s at 60k docs with checkEvery=2).
+    // Every round gets its own lazy localCheckpoint — star rounds
     // reference their input several times (self-union, join-back), and an
     // un-checkpointed intermediate would recompute its shuffles once per
-    // reference; the checkpoint backs the round with one shared RDD. Both
-    // checkpoints of a batch materialize inside the single signature job.
-    val checkEvery = 2
+    // reference; the checkpoint backs the round with one shared RDD.
+    val checkEvery = 1
     var lastSig: (Long, Long) = (-1L, -1L) // sentinel: never a real (count, xor)
     var converged = false
     var iter = 0

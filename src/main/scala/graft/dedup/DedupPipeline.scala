@@ -300,7 +300,7 @@ object DedupPipeline {
     // row (html binary, timestamps) stays in the source scan and crosses
     // exactly one shuffle — the final flag join at emission.
     val (sigsAllRaw, gateRejects) = signatures(pages, cfg)
-    val sigsAll = graft.Caches.track(sigsAllRaw
+    val sigsAll = graft.Caches.truncate(sigsAllRaw
       .select("doc_id", "text", "minhash", "simhash", "reject_reason"))
     val sigs = sigsAll.where($"minhash".isNotNull)
     val admittedWide = sigsAllRaw.where($"reject_reason".isNull)
@@ -315,12 +315,12 @@ object DedupPipeline {
     // Op2 — LSH buckets → candidates → verification (reference Op2:
     // write_to_dup_group_db with the tolerant in-bucket match)
     val (pairs, overflow) = Lsh.candidatePairs(sigCols, cfg)
-    val scored = graft.Caches.track(Lsh.verifyPairs(pairs, sigCols, cfg))
+    val scored = graft.Caches.truncate(Lsh.verifyPairs(pairs, sigCols, cfg))
     val verified = scored.where($"verified").select($"a", $"b")
     val nearMisses = scored.where(!$"verified")
 
     // Op2b — exact-substring pass (north_star suffix-array analog)
-    val substr = graft.Caches.track(
+    val substr = graft.Caches.truncate(
       if (cfg.substringPass)
         SubstringDedup.substringEdges(sigs.select($"doc_id", $"text"), cfg)
           .select($"a", $"b")
@@ -341,7 +341,7 @@ object DedupPipeline {
     // Near-miss tags ride the same doc_id-keyed join (left: most docs
     // have none) — emitted rows carry their closest-miss annotation, the
     // reference's at-emission tag append (dedup.py:765-776).
-    val flagged = graft.Caches.track(
+    val flagged = graft.Caches.truncate(
       admittedWide.join(flags.hint("shuffle_hash"), "doc_id")
         .join(nearMissTags(nearMisses).hint("shuffle_hash"), Seq("doc_id"), "left"))
 

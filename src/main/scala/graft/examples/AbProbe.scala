@@ -24,6 +24,7 @@ object AbProbe {
     val base = DedupConfig(allowedLangs = Some(Set("en")))
     val variants: Seq[(String, DedupConfig)] = axis match {
       case "strategy" => Seq(
+        "auto" -> base.copy(hotBucketStrategy = "auto"),
         "salted" -> base.copy(hotBucketStrategy = "salted"),
         "window" -> base.copy(hotBucketStrategy = "window"))
       case "remap" => Seq(
