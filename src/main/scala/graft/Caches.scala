@@ -66,4 +66,22 @@ object Caches {
     * the run must restart — `ResumableDedupPipeline`'s parquet stages
     * are the durable alternative for flaky clusters. */
   def truncate(df: DataFrame): DataFrame = df.localCheckpoint(false)
+
+  // Truncation hides the producing plan behind an RDD scan, so plan-audit
+  // tooling (PlanAuditSpec, PlanDump) could no longer see what the engine
+  // actually compiled. A tagged truncate records the pre-checkpoint
+  // physical plan — planning already happened eagerly inside
+  // localCheckpoint, so the capture costs a toString, nothing more.
+  private val plans = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** [[truncate]] + record the pre-checkpoint physical plan under `tag`
+    * for [[capturedPlan]]. */
+  def truncateTagged(df: DataFrame, tag: String): DataFrame = {
+    val out = df.localCheckpoint(false)
+    plans.put(tag, df.queryExecution.executedPlan.toString)
+    out
+  }
+
+  /** The physical plan last recorded by [[truncateTagged]] for `tag`. */
+  def capturedPlan(tag: String): Option[String] = Option(plans.get(tag))
 }

@@ -341,9 +341,10 @@ object DedupPipeline {
     // Near-miss tags ride the same doc_id-keyed join (left: most docs
     // have none) — emitted rows carry their closest-miss annotation, the
     // reference's at-emission tag append (dedup.py:765-776).
-    val flagged = graft.Caches.truncate(
+    val flagged = graft.Caches.truncateTagged(
       admittedWide.join(flags.hint("shuffle_hash"), "doc_id")
-        .join(nearMissTags(nearMisses).hint("shuffle_hash"), Seq("doc_id"), "left"))
+        .join(nearMissTags(nearMisses).hint("shuffle_hash"), Seq("doc_id"), "left"),
+      tag = "flagship-emission")
 
     // Op5 — emission (reference write_output_files_pe: anti/semi routing)
     val deduped = flagged.where($"is_canonical")

@@ -34,7 +34,9 @@ object PlanDump {
       "q_ann_ivf_top1" -> "IVF: codebook scan (small LIMIT subplan), cell equi-join, window top-k",
       "q_embedding_dedup" -> "RHP-bucketed candidates + exact cosine verify, distinct pairs",
       "q_winnow_fingerprints" -> "explode gram positions → windowed min over position order (one shuffle)",
-      "q_window_quality" -> "posexplode tokens → running-sum window → min agg; window and groupBy share the doc_id hash partitioning (one Exchange)")
+      "q_window_quality" -> "posexplode tokens → running-sum window → min agg; window and groupBy share the doc_id hash partitioning (one Exchange)",
+      "q_winnow_production" -> "production WinnowedFingerprints expression: zero-Exchange projection+explode over the pruned (doc_id, text) scan",
+      "q_simhash_production" -> "production ShingleHashes→SimHash64 expression chain: zero-Exchange projection over the pruned scan")
 
     val md = new StringBuilder("# PLANS — formatted physical plans (audited)\n\n")
     md.append("Mechanical assertions over these properties live in " +

@@ -84,9 +84,21 @@ class PlanAuditSpec extends SparkSpec {
     val res = graft.dedup.DedupPipeline.run(
       graft.io.SyntheticCorpus.pages(spark, 500),
       graft.dedup.DedupConfig(allowedLangs = Some(Set("en"))))
-    val p = res.flagged.queryExecution.executedPlan.toString
+    // the emission frame is lineage-truncated (its own plan is an RDD
+    // scan); the pipeline records the pre-checkpoint physical plan
+    val p = Caches.capturedPlan("flagship-emission").get
     assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
       s"emission join degraded to sort-merge over wide rows:\n$p")
     res.cleanup()
+  }
+
+  test("production signature queries are zero-Exchange projections") {
+    // the production-expression oracles add no shuffle: winnow/simhash are
+    // per-row Catalyst expressions over the pruned scan
+    for (name <- Seq("q_winnow_production", "q_simhash_production")) {
+      val p = plan(q(name))
+      assert(!p.contains("Exchange"), s"$name:\n$p")
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), s"$name:\n$p")
+    }
   }
 }
