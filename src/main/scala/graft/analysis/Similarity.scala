@@ -307,16 +307,38 @@ object Similarity {
       F.transform(F.col("emb"), x => x / F.col("nrm")).as("u"),
       quantized(F.col("emb")).as("qv"))
     for (_ <- 1 to rounds) {
-      val best = F.element_at(F.array_sort(F.array(cents.map { case (cid, qc) =>
-        F.struct(
-          (-intDot(F.col("qv"), F.typedLit(qc))).as("nd"),
-          F.lit(cid).as("cid"))
-      }: _*)), 1).getField("cid")
-      val sums = withQv.withColumn("cell", best)
+      // Best-cell assignment as a broadcast-codebook partition scan: the
+      // cell id is computed IN PLACE (no shuffle of the unit vectors, no
+      // per-centroid expression literals — at large C those generate
+      // unplannable codegen), and the member-mean aggregation below
+      // stays (cell, component) partial sums — shuffle ≤ C·dim rows per
+      // task, corpus-size-independent, exactly as before. Tie rule (dot
+      // desc, cid asc) identical to the oracle's assignment replay.
+      val bc = spark.sparkContext.broadcast(cents)
+      val assigned = withQv.select(F.col("u"), F.col("qv"))
+        .as[(Array[Double], Array[Long])]
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.map { case (u, qv) =>
+            var bestCid = Long.MaxValue
+            var bestNd = Long.MaxValue
+            cs.foreach { case (cid, qc) =>
+              var d = 0L; var i = 0
+              while (i < qv.length) { d += qv(i) * qc(i); i += 1 }
+              val nd = -d
+              if (nd < bestNd || (nd == bestNd && cid < bestCid)) {
+                bestNd = nd; bestCid = cid
+              }
+            }
+            (bestCid, u)
+          }
+        }.toDF("cell", "u")
+      val sums = assigned
         .select(F.col("cell"), F.posexplode(F.col("u")).as(Seq("i", "v")))
         .groupBy("cell", "i")
         .agg(F.sum("v").as("s"), F.count(F.lit(1)).as("c"))
         .as[(Long, Int, Double, Long)].collect()
+      bc.unpersist(false)
       val byCell = sums.groupBy(_._1)
       cents = cents.map { case (cid, qc) =>
         byCell.get(cid) match {
@@ -463,33 +485,41 @@ object Similarity {
     }
     val cents = refineCentroids(e, sample, lloydRounds)
 
-    // cell ranking per vector: integer dot vs every centroid, best first
-    // (sort key (-dot, cid) so array_sort ascending = dot desc, id asc)
-    def cellRanks(rawEmb: Column): Column = {
-      val qv = quantized(rawEmb)
-      F.array_sort(F.array(cents.map { case (cid, qc) =>
-        F.struct(
-          (-F.aggregate(F.zip_with(qv, F.typedLit(qc), _ * _), F.lit(0L), _ + _)).as("nd"),
-          F.lit(cid).as("cid"))
-      }: _*))
-    }
-
-    // ranking key = integer dot of quantized units (see [[quantizedUnit]]):
-    // candidate ORDER is bit-identically SQL-replayable, no float near-ties
-    val unit = e.select(F.col("vec_id"), F.col("emb"),
-      quantizedUnit(F.col("emb"), F.col("nrm")).as("qu"))
-    val ranked = unit.withColumn("ranks", cellRanks(F.col("emb")))
-    val assigned = ranked.select(F.col("vec_id"), F.col("qu"),
-      F.explode(F.slice(F.col("ranks"), 1, assignTopA)).as("a"))
-      .select(F.col("vec_id"), F.col("qu"), F.col("a").getField("cid").as("cell"))
+    // The codebook joins as broadcast DATA, not as inlined expression
+    // literals: C typedLit'd centroid arrays generate O(C·dim) of code
+    // text per consumer (at a realistic C = 4096 that is megabytes of
+    // janino input — unplannable), whereas a broadcast cross join scores
+    // n·C NARROW rows — (vec_id, nd, cid), no array payload — with one
+    // small codegen'd projection and scales to any codebook a driver can
+    // hold. Cell ranks come from a (vec_id) window over those narrow
+    // rows; the qu payload is attached once, by a vec_id join onto the
+    // ≤ max(nProbe, assignTopA) surviving rows per vector. Sort key
+    // (-dot, cid) keeps the tie rule (dot desc, cid asc) bit-identical
+    // to the oracle's replay.
+    val spark2 = e.sparkSession
+    import spark2.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val centDF = cents.toSeq.toDF("cid", "qc")
+    val unit = graft.Caches.track(e.select(F.col("vec_id"),
+      quantized(F.col("emb")).as("qv"),
+      quantizedUnit(F.col("emb"), F.col("nrm")).as("qu")))
+    val ranked = graft.Caches.track(unit.select(F.col("vec_id"), F.col("qv"))
+      .crossJoin(F.broadcast(centDF))
+      .select(F.col("vec_id"),
+        (-intDot(F.col("qv"), F.col("qc"))).as("nd"), F.col("cid"))
+      .withColumn("cr", F.row_number().over(
+        Window.partitionBy("vec_id").orderBy("nd", "cid")))
+      .where(F.col("cr") <= math.max(nProbe, assignTopA))
+      .select(F.col("vec_id"), F.col("cid").as("cell"), F.col("cr"))
+      .join(unit.select(F.col("vec_id"), F.col("qu")), Seq("vec_id")))
+    val assigned = ranked.where(F.col("cr") <= assignTopA)
+      .select("vec_id", "qu", "cell")
     val capped = {
       val ok = assigned.groupBy("cell").count()
         .where(F.col("count").between(1, maxCell)).select("cell")
       assigned.join(ok.hint("shuffle_hash"), Seq("cell"))
     }
-    val probes = ranked.select(F.col("vec_id"), F.col("qu").as("qq"),
-      F.explode(F.slice(F.col("ranks"), 1, nProbe)).as("p"))
-      .select(F.col("vec_id"), F.col("qq"), F.col("p").getField("cid").as("cell"))
+    val probes = ranked.where(F.col("cr") <= nProbe)
+      .select(F.col("vec_id"), F.col("qu").as("qq"), F.col("cell"))
     val cand = probes.join(
       capped.select(F.col("cell"), F.col("vec_id").as("nn_id"), F.col("qu").as("qc")),
       Seq("cell"))

@@ -51,10 +51,11 @@ object DedupPipeline {
     *    `reject_reason` column (null = admitted) and minhash/simhash
     *    (computed only on admitted rows, so minhash.isNotNull ⇔ signed;
     *    an admitted row with null minhash had no shingleable content).
-    *    Callers cache one narrow projection of this frame and derive
-    *    sigs, no-content rejects AND all gate metrics from the cache —
-    *    counting rejects never re-scans (or re-generates) the source,
-    *    which at 100 TB would be a whole extra text pass.
+    *    Callers materialize one narrow projection of this frame
+    *    (Caches.truncate in [[run]]) and derive sigs, no-content rejects
+    *    AND all gate metrics from it — counting rejects never re-scans
+    *    (or re-generates) the source, which at 100 TB would be a whole
+    *    extra text pass.
     *  - rejects = the wide gate-reject rows (no_content excluded; callers
     *    derive it from sigsAll). */
   def signatures(pages: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) = {
@@ -296,9 +297,12 @@ object DedupPipeline {
 
     // Op1 — signatures (reference Op1: build_read_and_loc_dbs).
     // Payload discipline for 100 TB inputs: only (doc_id, text, minhash,
-    // simhash) is cached and shuffled through the compute stages; the wide
-    // row (html binary, timestamps) stays in the source scan and crosses
-    // exactly one shuffle — the final flag join at emission.
+    // simhash) is materialized (lineage-truncating lazy checkpoint — see
+    // Caches.truncate: re-analysis of deep lineage at every downstream
+    // action is the pipeline's serial floor) and shuffled through the
+    // compute stages; the wide row (html binary, timestamps) stays in the
+    // source scan and crosses exactly one shuffle — the final flag join
+    // at emission.
     val (sigsAllRaw, gateRejects) = signatures(pages, cfg)
     val sigsAll = graft.Caches.truncate(sigsAllRaw
       .select("doc_id", "text", "minhash", "simhash", "reject_reason"))
@@ -353,10 +357,10 @@ object DedupPipeline {
       .drop("is_canonical", "is_duplicate")
     val clusters = flagged.select($"url", $"doc_id", $"cluster_id", $"is_canonical")
 
-    // Report — consolidated into 4 aggregate jobs (one per cached stage),
+    // Report — consolidated into 4 aggregate jobs (one per stage frame),
     // not a count() per counter: at bench/cluster scale serial driver jobs
     // are pure Amdahl overhead. ALL gate numbers (pages_total, per-reason
-    // rejects, signed/admitted) come from ONE aggregation of the cached
+    // rejects, signed/admitted) come from ONE aggregation of the stage
     // signature frame — no job ever re-scans the source for a counter.
     val gateStats = sigsAll.groupBy("reject_reason")
       .agg(F.count(F.lit(1)).as("n"), F.count($"minhash").as("nsig")).collect()
