@@ -357,13 +357,37 @@ object DedupPipeline {
       .drop("is_canonical", "is_duplicate")
     val clusters = flagged.select($"url", $"doc_id", $"cluster_id", $"is_canonical")
 
-    // Report — consolidated into 4 aggregate jobs (one per stage frame),
-    // not a count() per counter: at bench/cluster scale serial driver jobs
-    // are pure Amdahl overhead. ALL gate numbers (pages_total, per-reason
-    // rejects, signed/admitted) come from ONE aggregation of the stage
-    // signature frame — no job ever re-scans the source for a counter.
-    val gateStats = sigsAll.groupBy("reject_reason")
-      .agg(F.count(F.lit(1)).as("n"), F.count($"minhash").as("nsig")).collect()
+    // Report — consolidated into 5 aggregate jobs (one per stage frame),
+    // not a count() per counter, with the four that read ALREADY
+    // MATERIALIZED stage checkpoints (sigsAll/scored/substr were forced
+    // by earlier actions; overflow is a local relation) submitted
+    // CONCURRENTLY: the driver awaits them together, so their scheduler
+    // round-trips overlap instead of paying serial latencies (on a
+    // cluster the independent jobs also fill otherwise-idle executors).
+    // flagStats stays on the caller thread — it is the FIRST action on
+    // flagged's lazy checkpoint, and concurrent first-touch of an
+    // unmaterialized checkpoint races on its SQL-metric accumulators
+    // (observed: "attempted to access non-existent accumulator"). ALL
+    // gate numbers (pages_total, per-reason rejects, signed/admitted)
+    // come from ONE aggregation of the stage signature frame — no job
+    // ever re-scans the source.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val gateStatsF = Future(sigsAll.groupBy("reject_reason")
+      .agg(F.count(F.lit(1)).as("n"), F.count($"minhash").as("nsig")).collect())
+    val pairAggs = Seq(
+      F.count(F.lit(1)),
+      F.coalesce(F.sum(F.when($"verified", 1L).otherwise(0L)), F.lit(0L))) ++
+      distanceHistogramAggs
+    val pairStatsF = Future(scored.agg(pairAggs.head, pairAggs.tail: _*).head())
+    val substrPairsF = Future(substr.count())
+    val overflowF = Future(overflow.head())
+    val flagStats = flagged.agg(
+      F.coalesce(F.sum(F.when($"is_duplicate", 1L).otherwise(0L)), F.lit(0L)),
+      F.countDistinct(F.when($"is_duplicate", $"cluster_id"))).head()
+
+    val gateStats = Await.result(gateStatsF, Duration.Inf)
     val admittedRow = gateStats.filter(_.isNullAt(0))
     // n counts every gate-admitted row; nsig counts the signed subset
     // (non-null minhash) — the names mirror the counts they hold
@@ -372,21 +396,13 @@ object DedupPipeline {
     val pagesTotal = gateStats.map(_.getLong(1)).sum
     val gateRejectRows = gateStats.filter(!_.isNullAt(0))
       .map(r => r.getString(0) -> r.getLong(1))
-    // one pass over scored: counts + the 16 histogram buckets
-    val pairAggs = Seq(
-      F.count(F.lit(1)),
-      F.coalesce(F.sum(F.when($"verified", 1L).otherwise(0L)), F.lit(0L))) ++
-      distanceHistogramAggs
-    val pairStats = scored.agg(pairAggs.head, pairAggs.tail: _*).head()
+    val pairStats = Await.result(pairStatsF, Duration.Inf)
     val (candPairs, verifiedPairs) = (pairStats.getLong(0), pairStats.getLong(1))
     val hists = distanceHistogramLabels.zipWithIndex
       .map { case (l, i) => l -> pairStats.getLong(i + 2) }
-    val substrPairs = substr.count()
-    val flagStats = flagged.agg(
-      F.coalesce(F.sum(F.when($"is_duplicate", 1L).otherwise(0L)), F.lit(0L)),
-      F.countDistinct(F.when($"is_duplicate", $"cluster_id"))).head()
+    val substrPairs = Await.result(substrPairsF, Duration.Inf)
     val (dupsRemoved, clustersMulti) = (flagStats.getLong(0), flagStats.getLong(1))
-    val o = overflow.head()
+    val o = Await.result(overflowF, Duration.Inf)
 
     val metrics = Seq(
       "pages_total" -> pagesTotal,
