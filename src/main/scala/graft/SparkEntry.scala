@@ -243,33 +243,23 @@ object SparkEntry {
     "q_simhash_dup_pairs" -> ((s, dir) => {
       // SimHash near-dup pairs via the pigeonhole multi-index join
       // (hamming ≤ 3) — which is EXACT (any pair within the budget shares
-      // one of maxHamming+1 chunks verbatim). The signature here is a
-      // 60-bit SimHash over word trigrams whose per-gram hash is
-      // md5-derived, making the whole query replayable in DuckDB
-      // (('0x'||substr(md5,1,15))::BIGINT) — the production signature is
-      // the SimHash64 Catalyst expression (spec-tested in
-      // SignatureExpressionsSpec / SimHashJoinSpec).
-      val grams = docsWithCopies(s, dir)
-        .select(F.col("doc_id"),
-          F.explode(NgramJaccard.ngrams(F.col("text"), 3)).as("gram"))
-        .select(F.col("doc_id"),
-          F.conv(F.substring(F.md5(F.encode(F.col("gram"), "UTF-8")), 1, 15), 16, 10)
-            .cast("long").as("hv"))
-      // ones-count arithmetic (sum of raw bits, branch-free agg update —
-      // measured ~25% cheaper than the ±1 CASE sums): the ±1 vote sum is
-      // v_b = 2·ones_b − n, so "v_b > 0" ⟺ "2·ones_b > n" — bit-identical
-      // to the oracle's CASE form
-      val oneCols = (0 until 60).map(b =>
-        F.sum(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1L))).as(s"o$b"))
-      val votes = grams.groupBy("doc_id")
-        .agg(oneCols.head, (oneCols.tail :+ F.count(F.lit(1)).as("n")): _*)
-      // tracked cache: the pigeonhole join consumes the signature relation
-      // three times (size counts + both join sides) — uncached, the whole
-      // gram-explode vote aggregation would run three times
-      val sigs = graft.Caches.track(votes.select(F.col("doc_id"),
-        (0 until 60).map(b =>
-          F.when(F.col(s"o$b") * 2 > F.col("n"), F.lit(1L << b)).otherwise(0L))
-          .reduce(_ + _).as("sim")))
+      // one of maxHamming+1 chunks verbatim). The signature is a 60-bit
+      // SimHash over md5-hashed distinct word trigrams, computed per ROW
+      // by ONE codegen'd expression (Md5NgramSimHash — semantics doc'd
+      // there, parity-spec'd against the explode/groupBy form): no gram
+      // explode, no 60 aggregate columns, no pre-join shuffle. The
+      // round-4 shape (corpus-wide explode → 60-sum groupBy) was the
+      // engine's most load-amplifiable plan (recorded 10–88 s for the
+      // same code across VM weather); the per-row fold is a narrow
+      // projection. md5 derivation keeps the query replayable in DuckDB;
+      // the production signature is the SimHash64 Catalyst expression
+      // (q_simhash_production).
+      // Tracked cache: the pigeonhole join consumes the signature
+      // relation three times (chunk size counts + both join sides).
+      val sigs = graft.Caches.track(
+        docsWithCopies(s, dir).select(F.col("doc_id"),
+          md5NgramSimhash(F.col("text"), 3, 60).as("sim"))
+          .where(F.col("sim").isNotNull))
       // chunk-posting cap pinned unbounded: the brute-force SQL oracle has
       // no cap to mirror (production callers keep the default cap)
       SimHashJoin.nearPairs(sigs, maxHamming = 3, maxChunkPostings = Long.MaxValue)

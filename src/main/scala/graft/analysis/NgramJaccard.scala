@@ -14,7 +14,11 @@ import org.apache.spark.sql.{functions => F}
   *    only viable shape: per-pair set intersection touches every n-gram
   *    of both documents per comparison (O(pairs × doc_len)), while the
   *    posting aggregation touches each n-gram occurrence once
-  *    (O(corpus_len + shared_occurrences)).
+  *    (O(corpus_len + shared_occurrences)). The pair frame itself is
+  *    still all-pairs-per-block (quadratic in block size) — [[indexed]]
+  *    is for blocked SCORING, and callers own keeping blocks bounded
+  *    (thousands, not millions, of docs per block); unblocked near-dup
+  *    detection at corpus scale is the LSH pipeline's job, not this.
   *
   * Both emit (doc_a, doc_b, inter_size, union_size) for every intra-block
   * pair, doc_a < doc_b, integers only.

@@ -119,7 +119,10 @@ object Similarity {
     * dot-product fold order, same tie rule), but no driver collect and no
     * whole-set broadcast: shuffle volume O(numBlocks · n · dim), per-task
     * memory O(n / numBlocks · dim) — pick numBlocks so a block fits a
-    * task, and the layout holds at any corpus size. */
+    * task. The LAYOUT is corpus-size-safe, but exact kNN is inherently
+    * O(n²·dim) total work: it stays viable only until the numBlocks²
+    * cell scans dominate the cluster; past that, [[lshTopK]] / [[ivfTopK]]
+    * are the scale answers and this is their recall oracle. */
   def blockedTopK(embeddings: DataFrame, k: Int, numBlocks: Int = 16): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -380,6 +383,8 @@ object Similarity {
     val n = samp.length
     val k = math.min(numCentroids, n)
     val chosen = new Array[Int](k)
+    val used = new Array[Boolean](n)
+    used(0) = true // chosen(0) = sample index 0 (min md5 rank)
     val minD = Array.fill(n)(Double.MaxValue)
     var c = 1
     while (c < k) {
@@ -408,7 +413,11 @@ object Similarity {
         i += 1
       }
       if (pick < 0) pick = minD.indexWhere(_ > 0) // residual fp mass
-      if (pick < 0) pick = c % n // all-identical degenerate corpus
+      // all-identical degenerate corpus: any unchosen index — never an
+      // already-chosen one (a duplicate (cid, centroid) row would take a
+      // row_number rank slot in ivfTopK and silently waste a probe slot)
+      if (pick < 0) pick = used.indexWhere(!_)
+      used(pick) = true
       chosen(c) = pick
       c += 1
     }

@@ -33,10 +33,16 @@ object ConnectedComponents {
 
   /** @param edges DataFrame with two LongType columns (src, dst) — column
     *              names are positional; self-loops and duplicates are fine.
+    * @param maxIterations must be ≥ 2: the sentinel-folded convergence
+    *              probe (see the loop comment) detects a fixpoint one
+    *              round AFTER reaching it, so an input already at
+    *              fixpoint needs 2 rounds to be declared converged.
     * @return DataFrame (id: long, component: long) — every node that
     *         appears in `edges`, component = min node id of its component.
     */
   def run(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
+    require(maxIterations >= 2,
+      s"maxIterations must be >= 2 (sentinel probe needs a confirming round), got $maxIterations")
     val spark = edges.sparkSession
     import spark.implicits._
 

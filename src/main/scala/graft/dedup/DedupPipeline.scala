@@ -374,6 +374,15 @@ object DedupPipeline {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    // Enforced (not assumed): every frame a future first-touches must be a
+    // MATERIALIZED checkpoint before submission. ConnectedComponents.run's
+    // actions normally forced all three; if a future code path ever skips
+    // that (early exit, reordering), the cheap count() here closes the
+    // accumulator race instead of reintroducing it.
+    Seq(sigsAll, scored, substr).foreach { f =>
+      if (!org.apache.spark.sql.graftshim.GraftSqlShim.isMaterializedLocalCheckpoint(f))
+        f.count()
+    }
     val gateStatsF = Future(sigsAll.groupBy("reject_reason")
       .agg(F.count(F.lit(1)).as("n"), F.count($"minhash").as("nsig")).collect())
     val pairAggs = Seq(

@@ -36,10 +36,12 @@ object ScaleProbe {
         spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
             starts.put(j.jobId, System.nanoTime())
-          override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-            val t0 = starts.remove(j.jobId)
-            println(f"  JOB ${j.jobId}%3d wall=${(System.nanoTime() - t0) / 1e9}%6.2f s")
-          }
+          override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            // Option guard: a dropped onJobStart (listener-bus overflow)
+            // would otherwise unbox null into the Long arithmetic
+            Option(starts.remove(j.jobId)).foreach { t0 =>
+              println(f"  JOB ${j.jobId}%3d wall=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+            }
         })
       }
       def run(m: Long): Unit = {

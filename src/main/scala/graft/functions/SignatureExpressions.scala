@@ -224,6 +224,121 @@ case class SimHash64(child: Expression, seed: Long)
     copy(child = newChild)
 }
 
+/** Text → SimHash over md5-hashed distinct word n-grams (`long`, low
+  * `bits` bits) — the SQL-REPLAYABLE signature family: md5 exists in
+  * every engine, so the whole fingerprint replays verbatim in DuckDB
+  * (`('0x' || substring(md5(gram), 1, 15))::BIGINT` + per-bit vote sums),
+  * unlike the production [[SimHash64]]'s FNV/mix64 chain which needs the
+  * HUGEINT mod-2^64 machinery.
+  *
+  * Semantics (bit-for-bit the q_simhash_dup_pairs oracle):
+  * tokens = text split on single spaces, empties dropped; grams = the
+  * DISTINCT runs of `n` consecutive tokens joined by one space; per gram
+  * hv = value of the first 15 hex digits of md5(utf8(gram)) (60 bits);
+  * result bit b (b < `bits`) is set iff strictly more than half the
+  * grams have hv bit b set (the ±1 Charikar vote, ones-count form:
+  * v_b = 2·ones_b − m > 0 ⟺ 2·ones_b > m). Fewer than `n` tokens → null.
+  *
+  * One pass per ROW inside whole-stage codegen — no gram explode, no
+  * per-bit aggregate columns, no shuffle: the round-4 form of this query
+  * (explode → 60-sum groupBy over the corpus) was the engine's most
+  * load-amplifiable plan (60 codegen'd aggregates over a corpus-wide
+  * explode, re-evaluated by the pigeonhole join on cache eviction); this
+  * expression replaces all of it with a narrow projection.
+  */
+case class Md5NgramSimHash(child: Expression, n: Int, bits: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"n-gram n must be >= 1, got $n")
+  require(bits >= 1 && bits <= 60,
+    s"bits in [1,60] (60 = 15 md5 hex digits), got $bits")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "md5_ngram_simhash"
+
+  override def nullSafeEval(input: Any): Any =
+    evalOrNull(input.asInstanceOf[UTF8String])
+
+  def evalOrNull(text: UTF8String): java.lang.Long =
+    Md5NgramSimHash.compute(text.toString, n, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5Simhash", this, classOf[Md5NgramSimHash].getName)
+    val r = ctx.freshName("md5SimRes")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |java.lang.Long $r = $ref.evalOrNull($c);
+      |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5NgramSimHash =
+    copy(child = newChild)
+}
+
+object Md5NgramSimHash {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** null iff the text has fewer than n tokens (the oracle's empty gram
+    * list — such docs vanish from the vote aggregation). */
+  def compute(text: String, n: Int, bits: Int): java.lang.Long = {
+    // tokens = maximal runs between single ' ' separators (NOT general
+    // whitespace — mirrors string_split(text, ' ') + non-empty filter)
+    val tokens = new java.util.ArrayList[String]()
+    val len = text.length
+    var i = 0
+    while (i < len) {
+      while (i < len && text.charAt(i) == ' ') i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && text.charAt(i) != ' ') i += 1
+        tokens.add(text.substring(start, i))
+      }
+    }
+    val nt = tokens.size()
+    if (nt < n) return null
+    // distinct n-grams (dedupe on the STRING, exactly list_distinct(tri))
+    val seen = new java.util.HashSet[String](math.max(16, nt * 2))
+    val md = digest.get()
+    val ones = new Array[Int](bits)
+    var m = 0
+    val sb = new java.lang.StringBuilder(64)
+    var g = 0
+    while (g <= nt - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens.get(g + j))
+        j += 1
+      }
+      val gram = sb.toString
+      if (seen.add(gram)) {
+        md.reset()
+        val d = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 15 hex digits = big-endian bytes 0..7 shifted right a nibble
+        var be = 0L
+        var b = 0
+        while (b < 8) { be = (be << 8) | (d(b) & 0xFFL); b += 1 }
+        val hv = be >>> 4
+        var t = 0
+        while (t < bits) { ones(t) += ((hv >>> t) & 1L).toInt; t += 1 }
+        m += 1
+      }
+      g += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (2 * ones(b) > m) out |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(out)
+  }
+}
+
 /** Text → winnowed rolling-hash fingerprints (`array<long>`, sorted
   * distinct) for exact-substring duplicate detection (the north_star's
   * suffix-array pass, re-expressed for distribution).

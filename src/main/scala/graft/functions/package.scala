@@ -27,6 +27,13 @@ package object functions {
   def simhash(shingleHashes: Column, seed: Long = HashUtil.DefaultSeed): Column =
     col(SimHash64(expr(shingleHashes), seed))
 
+  /** SimHash over md5-hashed distinct word n-grams (low `bits` bits of a
+    * long) — the SQL-replayable signature family (md5 replays in any
+    * engine; the production [[simhash]] uses the FNV/mix64 chain). One
+    * codegen'd pass per row: no gram explode, no per-bit aggregates. */
+  def md5NgramSimhash(text: Column, n: Int, bits: Int = 60): Column =
+    col(Md5NgramSimHash(expr(text), n, bits))
+
   /** Winnowed rolling-hash fingerprints for exact-substring detection. */
   def winnowedFingerprints(text: Column, w: Int, win: Int,
                            seed: Long = HashUtil.DefaultSeed): Column =

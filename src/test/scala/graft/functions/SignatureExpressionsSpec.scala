@@ -119,4 +119,57 @@ class SignatureExpressionsSpec extends SparkSpec {
     assert(rows(1).getSeq[Long](1).isEmpty && rows(1).isNullAt(2) && rows(1).isNullAt(3))
     assert(rows(2).isNullAt(1) && rows(2).isNullAt(2) && rows(2).isNullAt(3))
   }
+
+  test("md5NgramSimhash: single-gram doc equals the SQL md5-derived hash") {
+    val spark2 = spark
+    import spark2.implicits._
+    // with exactly one gram, every vote is 2·ones > 1 ⟺ the hv bit itself,
+    // so sim == hv — pins the md5 → first-15-hex-digits → long derivation
+    // against Spark's own conv/substring/md5 chain (the oracle's form)
+    val df = Seq("alpha bravo charlie", "x y z", "tabs\there stay intact")
+      .toDF("text")
+      .select(
+        md5NgramSimhash(F.col("text"), 3, 60).as("sim"),
+        F.conv(F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+    df.collect().foreach(r => assert(r.getLong(0) === r.getLong(1), r.toString))
+  }
+
+  test("md5NgramSimhash: parity with the explode + per-bit-sum aggregation form") {
+    val spark2 = spark
+    import spark2.implicits._
+    // corpus with repeats (dedupe must match list_distinct), short docs
+    // (< 3 words → null), multi-space runs, and synthetic volume
+    val docs = Seq(
+      1L -> "a b c a b c a b c",
+      2L -> "one  two   three four five",
+      3L -> "too short",
+      4L -> "",
+      5L -> words(200).mkString(" "),
+      6L -> (words(120).mkString(" ") + " " + words(120).mkString(" "))
+    ).toDF("doc_id", "text")
+    val fast = docs
+      .select(F.col("doc_id"), md5NgramSimhash(F.col("text"), 3, 60).as("sim"))
+      .where(F.col("sim").isNotNull)
+    // the round-4 reference form: explode distinct trigrams, md5-derive
+    // 60-bit hashes, per-bit ones-count aggregation, majority pack
+    val grams = docs
+      .select(F.col("doc_id"),
+        F.explode(graft.analysis.NgramJaccard.ngrams(F.col("text"), 3)).as("gram"))
+      .select(F.col("doc_id"),
+        F.conv(F.substring(F.md5(F.encode(F.col("gram"), "UTF-8")), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+    val oneCols = (0 until 60).map(b =>
+      F.sum(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1L))).as(s"o$b"))
+    val slow = grams.groupBy("doc_id")
+      .agg(oneCols.head, (oneCols.tail :+ F.count(F.lit(1)).as("n")): _*)
+      .select(F.col("doc_id"),
+        (0 until 60).map(b =>
+          F.when(F.col(s"o$b") * 2 > F.col("n"), F.lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("sim"))
+    val f = fast.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s = slow.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f === s)
+    assert(f.keySet === Set(1L, 2L, 5L, 6L)) // 3 (short) and 4 (empty) drop out
+  }
 }
