@@ -36,7 +36,8 @@ object PlanDump {
       "q_winnow_fingerprints" -> "explode gram positions → windowed min over position order (one shuffle)",
       "q_window_quality" -> "posexplode tokens → running-sum window → min agg; window and groupBy share the doc_id hash partitioning (one Exchange)",
       "q_winnow_production" -> "production WinnowedFingerprints expression: zero-Exchange projection+explode over the pruned (doc_id, text) scan",
-      "q_simhash_production" -> "production ShingleHashes→SimHash64 expression chain: zero-Exchange projection over the pruned scan")
+      "q_simhash_production" -> "production ShingleHashes→SimHash64 expression chain: zero-Exchange projection over the pruned scan",
+      "q_simhash_dup_pairs" -> "per-row Md5NgramSimHash signature (no gram explode, no per-bit aggregates — the round-4 60-sum groupBy shape is gone) → cached narrow (doc_id, sim) → pigeonhole chunk equi-joins")
 
     val md = new StringBuilder("# PLANS — formatted physical plans (audited)\n\n")
     md.append("Mechanical assertions over these properties live in " +
