@@ -121,9 +121,9 @@ object Bench {
     * one-sided ±50%+ CPU-steal noise on shuffle stages, so a single pair
     * is never evidence (round 4: one unprotected 250k pair under driver
     * load recorded 0.335 on code that measures 0.72–0.84 when sampled
-    * twice); the recorded efficiency is the LEAST-CONTENDED COMPLETE
-    * PAIR's ratio, with every raw sample and its corpus size in the
-    * artifact.
+    * twice); the recorded efficiency takes min walls per level within
+    * one corpus size (see main), with every raw sample and its corpus
+    * size in the artifact.
     *
     * Pair-count policy: the corpus was SIZED so two pairs fit the
     * scaling budget — but sizing happens before the run, and this VM can
@@ -299,12 +299,26 @@ object Bench {
     val allPairs = scalingRuns(nSmall, nBig, nDocs,
       scalingDeadline = scalingDeadline,
       hardDeadline = budgetSec - 90, maxPairs = 3)
-    // the recorded number is the least-contended COMPLETE pair (max
-    // ratio): every sample, size and per-pair ratio is in the artifact
-    val best = allPairs.maxBy(_.ratio)
+    // The recorded ratio takes the MINIMUM wall per level WITHIN one
+    // corpus size (walls are only comparable at equal size; sizes differ
+    // only when the downsize rescue fired) — min = the least-contended,
+    // most hardware-faithful sample of each level. NOT max-of-pair-ratios:
+    // a pair whose small wall was inflated by contention would win that
+    // contest spuriously (observed: pair ratios 0.643/0.881 where the
+    // 0.881 pair had the WORSE small wall — the honest read of that
+    // session is min-walls 0.756). With several sizes, the size whose
+    // min-wall ratio is best is recorded; every sample + size + per-pair
+    // ratio stays in the artifact.
+    case class SizeGroup(docs: Long, tS: Double, tB: Double,
+                         spS: Double, spB: Double)
+    val groups = allPairs.groupBy(_.docs).map { case (docs, ps) =>
+      val bs = ps.minBy(_.tS); val bb = ps.minBy(_.tB)
+      SizeGroup(docs, bs.tS, bb.tB, bs.spS, bb.spB)
+    }
+    val best = groups.maxBy(g => g.tS / g.tB)
     val (tSmall, tBig, nPairs) = (best.tS, best.tB, allPairs.size)
     val bestDocs = best.docs
-    val efficiency = best.ratio / (nBig.toDouble / nSmall)
+    val efficiency = (tSmall / tBig) / (nBig.toDouble / nSmall)
     val dpsSmall = bestDocs / tSmall
     val dpsBig = bestDocs / tBig
 
@@ -386,9 +400,13 @@ object Bench {
          |(signature → LSH → verify → substring → connected components →
          |winner → emission) on the identical deterministic synthetic corpus
          |at two parallelism levels, $nPairs alternating timed pair(s); the
-         |recorded efficiency is the LEAST-CONTENDED COMPLETE PAIR's ratio
-         |(every raw sample, its corpus size, and every per-pair ratio are
-         |recorded in bench.json). The corpus size is chosen ADAPTIVELY
+         |recorded efficiency takes the MINIMUM wall per level across the
+         |pairs of one corpus size (min = the least-contended, most
+         |hardware-faithful sample of each level on a VM with one-sided
+         |CPU-steal noise; every raw sample, its corpus size, and every
+         |per-pair ratio are recorded in bench.json — max-of-pair-ratios
+         |was considered and rejected: a contention-inflated small wall
+         |would win it spuriously). The corpus size is chosen ADAPTIVELY
          |from a sizing warmup so ≥ 2 pairs fit the run budget under the
          |current VM load, and if the VM degrades mid-run past what sizing
          |could see, the second pair runs at a DOWNSIZED corpus rather
@@ -399,7 +417,7 @@ object Bench {
          |`spark.memory.fraction` 0.6, same partitioning — so no per-level
          |knob can shape the ratio; the spill column is the detector for
          |the one thing a shared heap could hide (memory starvation at
-         |either width). Best pair ($bestDocs docs):
+         |either width). Min walls at the recorded size ($bestDocs docs):
          |
          || parallelism | wall sec | docs/sec | spilled MiB |
          ||---|---|---|---|
@@ -408,7 +426,7 @@ object Bench {
          |
          |**Scaling efficiency (T_N / T_4N) / 4 = $efficiency%.3f**
          |(this VM shows one-sided ±50%% run-to-run noise from CPU steal on
-         |shuffle stages; taking the best of $nPairs alternating pair(s)
+         |shuffle stages; taking min walls over $nPairs alternating pair(s)
          |bounds, not removes, that exposure — the per-level sample arrays
          |and per-pair ratios in bench.json show the spread).
          |
