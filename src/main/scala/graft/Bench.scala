@@ -117,6 +117,53 @@ object Bench {
     def wall: Double = tS + tB
   }
 
+  /** The bench protocol's pure sizing decisions, extracted so the logic
+    * that guarantees "≥ 2 timed pairs by construction" is itself
+    * spec-tested (BenchSizingSpec) — the one part of the bench whose
+    * failure modes only surface under driver-VM weather that a local
+    * session cannot reproduce on demand. */
+  object Sizing {
+    /** Candidate corpus sizes, largest first: bigger corpora dilute the
+      * core-count-independent serial floor (the Amdahl term that costs a
+      * few hundredths of efficiency at ≤ 120k docs). */
+    val Ladder: Seq[Long] =
+      Seq(250000L, 180000L, 150000L, 120000L, 100000L, 80000L, 60000L)
+
+    /** Wall model: wall(n) ≈ floor + c·n; pair ≈ 1.6× the small wall
+      * (big level measured 0.36–0.75× small across sessions). */
+    def estPairSec(cPerDoc: Double, n: Long): Double =
+      (8.0 + cPerDoc * n) * 1.6
+
+    /** Per-doc cost from the sizing warmup. The 10 s warmup floor
+      * (steady-state serial planning + residual JIT at 25k docs) exceeds
+      * the 8 s projection floor by design: the warmup slope over-reads
+      * `c`, erring toward a smaller corpus. */
+    def perDocCost(warmupWallSec: Double, warmupDocs: Long): Double =
+      math.max(0.0, warmupWallSec - 10.0) / warmupDocs
+
+    /** Largest ladder size whose TWO estimated pairs (×1.15 slack) fit
+      * `remainingSec`; if none fits, the largest continuous size in
+      * [20k, 60k) that does — never a bigger corpus with fewer pairs
+      * (round 4: one unprotected pair cost 0.4 of efficiency). */
+    def chooseCorpus(remainingSec: Double, cPerDoc: Double): Long =
+      Ladder.find(n => 2 * estPairSec(cPerDoc, n) * 1.15 <= remainingSec)
+        .getOrElse {
+          val perPair = remainingSec / (2 * 1.15)
+          val n = if (cPerDoc <= 0) 60000L
+                  else ((perPair / 1.6 - 8.0) / cPerDoc).toLong / 1000 * 1000
+          math.max(20000L, math.min(60000L, n))
+        }
+
+    /** Corpus for a rescued pair 2 when pair 1 (wall `pairWallSec` at
+      * `n` docs) left only `roomSec` before the hard deadline: scale by
+      * measured cost with 10% slack; None if nothing ≥ 20k fits (a
+      * smaller corpus would not dwarf the serial floor). */
+    def downsize(n: Long, roomSec: Double, pairWallSec: Double): Option[Long] = {
+      val n2 = (n * (roomSec * 0.9 / pairWallSec)).toLong / 1000 * 1000
+      if (n2 >= 20000L) Some(n2) else None
+    }
+  }
+
   /** Alternating small/big pairs, ≥ 2 by construction. This VM shows
     * one-sided ±50%+ CPU-steal noise on shuffle stages, so a single pair
     * is never evidence (round 4: one unprotected 250k pair under driver
@@ -150,15 +197,15 @@ object Bench {
         if (elapsedSec + last.wall * 1.05 > scalingDeadline) go = false
       } else if (elapsedSec + last.wall * 1.05 > hardDeadline) {
         val room = hardDeadline - elapsedSec
-        val n2 = (n * (room * 0.9 / last.wall)).toLong / 1000 * 1000
-        if (n2 >= 20000) {
-          System.err.println(f"[bench] pair 1 (${last.wall}%.0f s at $n docs) " +
-            f"left ${room}%.0f s — downsizing pair 2 to $n2 docs")
-          n = n2
-        } else {
-          System.err.println(f"[bench] hard deadline ($hardDeadline%.0f s): " +
-            "no room for any second pair ≥ 20k docs; recording single pair")
-          go = false
+        Sizing.downsize(n, room, last.wall) match {
+          case Some(n2) =>
+            System.err.println(f"[bench] pair 1 (${last.wall}%.0f s at $n docs) " +
+              f"left ${room}%.0f s — downsizing pair 2 to $n2 docs")
+            n = n2
+          case None =>
+            System.err.println(f"[bench] hard deadline ($hardDeadline%.0f s): " +
+              "no room for any second pair ≥ 20k docs; recording single pair")
+            go = false
         }
       }
     }
@@ -261,27 +308,11 @@ object Bench {
     // pair per session before this run existed
     val (warmupBigWall, _) = timedRun(nBig, warmupDocs, warmup = false)
     System.err.println(f"[bench] big-level warmup: ${warmupBigWall}%.1f s")
-    // warmup floor 10 s (serial planning + residual JIT at 25k docs) vs
-    // projection floor 8 s (steady-state serial planning) — the warmup
-    // slope over-reads c by design, erring toward a smaller corpus
-    val cPerDoc = math.max(0.0, warmupWall - 10.0) / warmupDocs
-    def estPairSec(n: Long): Double = (8.0 + cPerDoc * n) * 1.6
-    val ladder = Seq(250000L, 180000L, 150000L, 120000L, 100000L, 80000L, 60000L)
-    val nDocs = sys.env.get("SPARK_GRAFT_BENCH_DOCS").map(_.toLong).getOrElse {
-      val remaining = scalingDeadline - elapsedSec
-      ladder.find(n => 2 * estPairSec(n) * 1.15 <= remaining).getOrElse {
-        // even 60k doesn't fit: derive the largest corpus whose TWO pairs
-        // fit what's left (never 1 big pair — round 4 proved a single
-        // unprotected sample is the worst spend of the budget), ≥ 20k so
-        // the measurement still dwarfs the serial floor
-        val perPair = remaining / (2 * 1.15)
-        val n = if (cPerDoc <= 0) 60000L
-                else ((perPair / 1.6 - 8.0) / cPerDoc).toLong / 1000 * 1000
-        math.max(20000L, math.min(60000L, n))
-      }
-    }
+    val cPerDoc = Sizing.perDocCost(warmupWall, warmupDocs)
+    val nDocs = sys.env.get("SPARK_GRAFT_BENCH_DOCS").map(_.toLong)
+      .getOrElse(Sizing.chooseCorpus(scalingDeadline - elapsedSec, cPerDoc))
     System.err.println(f"[bench] sizing: warmup $warmupDocs docs ${warmupWall}%.1f s " +
-      f"→ est pair ${estPairSec(nDocs)}%.0f s → corpus $nDocs docs")
+      f"→ est pair ${Sizing.estPairSec(cPerDoc, nDocs)}%.0f s → corpus $nDocs docs")
 
     // -- 1. scaling: same job, same input, N vs 4N cores — FIRST, in the
     // freshest JVM regime (running the 26 headline queries beforehand was
@@ -364,7 +395,7 @@ object Bench {
           f""""sample_docs":${allPairs.map(_.docs).mkString("[", ",", "]")},""" +
           f""""pair_efficiencies":${ratioArr(pairRatios)},""" +
           f""""warmup_docs":$warmupDocs,"warmup_sec":$warmupWall%.1f,""" +
-          f""""est_pair_sec":${estPairSec(nDocs)}%.1f,""" +
+          f""""est_pair_sec":${Sizing.estPairSec(cPerDoc, nDocs)}%.1f,""" +
           f""""headline_reserve_sec":$headlineReserve%.0f,""" +
           """"mem_fraction_small":0.600,"mem_fraction_big":0.600,""" +
           f""""spill_small_mb":${best.spS}%.1f,"spill_big_mb":${best.spB}%.1f,""" +

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench protocol's sizing decisions are what guarantee "≥ 2 timed
+  * scaling pairs by construction" — the round-over-round failure mode
+  * they close (a single unprotected pair under driver-VM load recorded
+  * efficiency 0.335 on code that measures 0.72–0.84 sampled twice) only
+  * reproduces under weather a local session can't stage on demand, so
+  * the pure decision functions are pinned here instead. No SparkSession
+  * involved. */
+class BenchSizingSpec extends AnyFunSuite {
+  import Bench.Sizing._
+
+  test("quiet VM: picks a large ladder size whose two pairs fit") {
+    // c ≈ 0.70 ms/doc (quiet sessions measure 0.66–0.80):
+    // est pair(150k) = (8 + 105)·1.6 ≈ 181, two pairs ×1.15 ≈ 416;
+    // est pair(180k) ≈ 214, two pairs ≈ 493
+    assert(chooseCorpus(remainingSec = 450, cPerDoc = 0.70e-3) === 150000L)
+    // more room admits the next rung up
+    assert(chooseCorpus(remainingSec = 510, cPerDoc = 0.70e-3) === 180000L)
+  }
+
+  test("loaded VM: smaller rung — size degrades before pair count") {
+    // c ≈ 1.2 ms/doc (observed degraded sessions 1.1–1.5)
+    val n = chooseCorpus(remainingSec = 500, cPerDoc = 1.2e-3)
+    assert(n === 100000L)
+    assert(2 * estPairSec(1.2e-3, n) * 1.15 <= 500)
+  }
+
+  test("tiny budget: continuous fallback below the ladder, floor 20k") {
+    val n = chooseCorpus(remainingSec = 100, cPerDoc = 1.0e-3)
+    assert(n === 20000L) // derived 19k clamps up to the floor
+    val n2 = chooseCorpus(remainingSec = 150, cPerDoc = 1.0e-3)
+    assert(n2 > 20000L && n2 < 60000L)
+    // the chosen size really leaves room for ~2 estimated pairs
+    assert(2 * estPairSec(1.0e-3, n2) * 1.15 <= 150 * 1.25)
+  }
+
+  test("degenerate per-doc cost: ladder top (estimates are all floor)") {
+    assert(chooseCorpus(remainingSec = 500, cPerDoc = 0.0) === 250000L)
+  }
+
+  test("monotonicity: more budget or less load never shrinks the corpus") {
+    val cs = Seq(0.5e-3, 0.8e-3, 1.2e-3, 2.0e-3)
+    val budgets = Seq(80.0, 150.0, 300.0, 450.0, 600.0)
+    for (c <- cs; Seq(b1, b2) <- budgets.sliding(2))
+      assert(chooseCorpus(b1, c) <= chooseCorpus(b2, c), s"c=$c $b1 vs $b2")
+    for (b <- budgets; Seq(c1, c2) <- cs.sliding(2))
+      assert(chooseCorpus(b, c1) >= chooseCorpus(b, c2), s"b=$b $c1 vs $c2")
+  }
+
+  test("perDocCost: warmup floor subtracted, never negative") {
+    assert(perDocCost(30.6, 25000) === (30.6 - 10.0) / 25000)
+    assert(perDocCost(7.0, 25000) === 0.0)
+  }
+
+  test("downsize: reproduces the observed rescue and refuses below 20k") {
+    // observed in-session: pair 1 155 s at 150k, 101 s of room → 87k
+    assert(downsize(150000, roomSec = 101, pairWallSec = 155) === Some(87000L))
+    // the rescued pair really fits the room: wall scales ~linearly
+    val Some(n2) = downsize(150000, 101, 155)
+    assert(155.0 * n2 / 150000 <= 101)
+    // catastrophic blowup: nothing sane fits → single pair, no tiny corpus
+    assert(downsize(150000, roomSec = 15, pairWallSec = 300) === None)
+  }
+}
