@@ -535,5 +535,22 @@ object Bench {
         System.err.println(s"[bench] per-stage table failed: ${e.getMessage}"); Seq.empty
       }
     writeArtifacts(stages, emitStdout = true) // THE stdout line
+
+    // Append-only session history: one line per completed bench run, so
+    // the run-to-run efficiency spread on identical code — the central
+    // fact about this VM — is data in the repo, not prose in commit
+    // messages. Never truncated; survives across rounds.
+    val hist =
+      f"""{"ts":"${java.time.Instant.now()}","docs":$bestDocs,""" +
+        f""""eff":$efficiency%.3f,"pairs":$nPairs,""" +
+        f""""samples_small":${sampleJson(allPairs.map(_.tS))},""" +
+        f""""samples_big":${sampleJson(allPairs.map(_.tB))},""" +
+        f""""sample_docs":${allPairs.map(_.docs).mkString("[", ",", "]")},""" +
+        f""""warmup_sec":$warmupWall%.1f,"headline_sec":$total%.1f,"sf":"$sfDir"}""" + "\n"
+    Files.writeString(Paths.get("bench_history.jsonl"), hist,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
+
+  private def sampleJson(xs: Seq[Double]): String =
+    xs.map(x => f"$x%.2f").mkString("[", ",", "]")
 }
