@@ -129,16 +129,23 @@ object ConnectedComponents {
   }
 
   /** large-star: for every node u, connect every strictly-larger neighbor
-    * to the minimum of u's neighborhood (including u itself). */
+    * to the minimum of u's neighborhood (including u itself).
+    *
+    * Window form, not groupBy(min)+join-back: the join would reshuffle
+    * the symmetric edge list on u anyway — co-locating every hub's rows
+    * in one task exactly like the window does — so the separate min
+    * aggregation bought no skew protection, only a second full-volume
+    * exchange and a join. One unbounded window min per round halves the
+    * round's exchanges (the serial-floor term of the CC loop at small
+    * edge volumes, and a full shuffle of the edge set saved per round at
+    * 10^12 edges). */
   private def largeStar(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
     val sym = edges.select($"u", $"v")
       .union(edges.select($"v".as("u"), $"u".as("v")))
-    val mins = sym.groupBy($"u")
-      .agg(F.min($"v").as("mn"))
-      .select($"u", F.least($"u", $"mn").as("m"))
-    sym.join(mins, "u")
+    sym.withColumn("m", F.least($"u", F.min($"v").over(w)))
       .where($"v" > $"u")
       .select($"v".as("u"), $"m".as("v"))
       .where($"u" =!= $"v")
@@ -147,16 +154,21 @@ object ConnectedComponents {
   }
 
   /** small-star: orient edges big->small; connect every neighbor (and u)
-    * to the minimum of the small neighborhood. */
+    * to the minimum of the small neighborhood. Same window form as
+    * [[largeStar]]; the hub edge (u, m) is emitted once per input row via
+    * the two-element explode (single pass over the windowed rows — a
+    * union of two selects would plan the window subtree twice) and
+    * de-duplicated by the round's distinct. */
   private def smallStar(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
     val or = edges.select(F.greatest($"u", $"v").as("u"), F.least($"u", $"v").as("v"))
-    val mins = or.groupBy($"u").agg(F.min($"v").as("m"))
-    val relinked = or.join(mins, "u")
-      .select($"v".as("u"), $"m".as("v"))
-    val hubs = mins.select($"u", $"m".as("v"))
-    relinked.union(hubs)
+    or.withColumn("m", F.min($"v").over(w))
+      .select(F.explode(F.array(
+        F.struct($"v".as("u"), $"m".as("v")),
+        F.struct($"u".as("u"), $"m".as("v")))).as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"))
       .where($"u" =!= $"v")
       .distinct()
   }

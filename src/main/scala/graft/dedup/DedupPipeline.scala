@@ -129,58 +129,106 @@ object DedupPipeline {
     * column; the caller rejects them) and salt-rehashes the non-min-url
     * rows of distinct-url hash collisions. Package-private so the remap
     * branch — unreachable from real data, since xxhash64 collisions
-    * cannot be fabricated — is testable against synthetic doc_ids.
-    * dupUrls is joined WITHOUT a broadcast hint: its size is bounded only
-    * by contract compliance (a self-unioned crawl makes it corpus-sized),
-    * so the planner must stay free to shuffle-join it — under AQE (on in
-    * every engine session) the tiny-by-contract case still broadcasts at
-    * runtime and the wide rows never shuffle; the pathological case
-    * degrades to a url-keyed shuffle instead of an OOM. `collided` is
-    * bounded by birthday math and safe to force-broadcast. */
+    * cannot be fabricated at will — is testable against synthetic
+    * doc_ids.
+    *
+    * Cost shape (this is on the serial-floor path of every pipeline run):
+    * ONE stacked narrow aggregation over (doc_id, url) — both levels
+    * partial-agg friendly, so a contract-violating url flood combines
+    * map-side — yields a TINY cached anomaly table (birthday math bounds
+    * real collisions; even adversarial k-way xxhash64 multi-collisions
+    * cost ≥ 2^43 hash evaluations for k=3, so per-id url lists stay
+    * single-digit). All resolution then happens on tiny cached frames,
+    * and the corpus pays at most ONE broadcast apply-join — zero joins
+    * when the corpus is clean, the overwhelmingly common case. Later
+    * remap rounds probe the corpus ONLY when the previous round actually
+    * remapped something (never, on real data) — the old form paid a
+    * corpus-wide aggregation + join per configured round unconditionally.
+    *
+    * NOTE: eager, like Lsh's auto-strategy probe — the anomaly
+    * aggregation runs a small Spark job at call time so the clean-corpus
+    * case can skip the apply-join at plan level. */
   private[dedup] def enforceIds(hashed: DataFrame, cfg: DedupConfig): DataFrame = {
-    // the derived enforcement tables are TRACKED CACHES: every downstream
-    // job re-evaluates the gated plan, and without the cache each
-    // evaluation would re-run these (doc_id, url) aggregations over the
-    // full corpus — with it, re-evaluation costs two joins against tiny
-    // materialized tables
-    val dupUrls = graft.Caches.track(hashed.select("doc_id", "url")
-      .groupBy("doc_id", "url").agg(F.count(F.lit(1)).as("nu"))
-      .where(F.col("nu") > 1)
-      .select(F.col("url"), F.lit(true).as("dup_url")))
-    val flagged = hashed
-      .join(dupUrls, Seq("url"), "left")
-      .withColumn("dup_url", F.coalesce(F.col("dup_url"), F.lit(false)))
-    // Fixed remap ROUNDS (all lazily chained — no driver-side convergence
-    // loop, which would force eager scans at plan-construction time): each
-    // round re-detects collisions among the previous round's ids and
-    // salt-rehashes the non-min-url rows with a fresh salt. See
-    // DedupConfig.idRemapRounds for the residual-risk arithmetic that
-    // makes round 2 the last one that matters.
-    (1 to cfg.idRemapRounds).foldLeft(flagged) { (df, round) =>
-      remapCollisionsOnce(df, cfg.seed + round)
-    }
-  }
+    val spark = hashed.sparkSession
+    import spark.implicits._
+    // P1 — the one corpus-wide pass: per-url copy counts, rolled up per
+    // doc_id. n > 1 ⇔ the id has either a duplicated url or a collision.
+    val anomalies = graft.Caches.track(
+      hashed.select($"doc_id", $"url")
+        .groupBy($"doc_id", $"url").agg(F.count(F.lit(1)).as("nu"))
+        .groupBy($"doc_id").agg(
+          F.sum($"nu").as("n"),
+          F.count(F.when($"nu" === 1, true)).as("n_clean"),
+          F.min(F.when($"nu" === 1, $"url")).as("keep_url"),
+          F.sort_array(F.collect_list(F.when($"nu" > 1, $"url"))).as("dup_urls"),
+          F.sort_array(F.collect_list(F.when($"nu" === 1, $"url"))).as("clean_urls"))
+        .where($"n" > 1))
 
-  /** One collision-remap round over a frame with (doc_id, url, dup_url):
-    * distinct-url groups sharing a doc_id keep the min-url row's id and
-    * salt-rehash the rest. The remap is a pure function of (salt, url) —
-    * deterministic across runs and partitionings. `collided` is bounded
-    * by birthday math and safe to force-broadcast; dup_url rows are left
-    * untouched (they route to rejects). */
-  private def remapCollisionsOnce(df: DataFrame, salt: Long): DataFrame = {
-    val collided = graft.Caches.track(
-      df.where(!F.col("dup_url")).select("doc_id", "url")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).as("ng"), F.min("url").as("keep_url"))
-        .where(F.col("ng") > 1)
-        .select("doc_id", "keep_url"))
-    df.join(F.broadcast(collided), Seq("doc_id"), "left")
-      .withColumn("doc_id",
-        F.when(!F.col("dup_url") && F.col("keep_url").isNotNull
-          && F.col("url") =!= F.col("keep_url"),
-          F.xxhash64(F.lit(salt), F.col("url")))
-          .otherwise(F.col("doc_id")))
-      .drop("keep_url")
+    // Round-1 resolution, tiny-frame algebra only: every url of a
+    // duplicated-url group routes to rejects; in a collision group the
+    // min clean url keeps the id, the rest are salt-rehashed (a pure
+    // function of (salt, url) — deterministic across partitionings).
+    val dupResolved = anomalies
+      .select(F.explode($"dup_urls").as("url"))
+      .select($"url", F.lit(true).as("dup_url"),
+        F.lit(null).cast("long").as("new_id"))
+    def remapWith(groups: DataFrame, salt: Long): DataFrame = groups
+      .select($"keep_url", F.explode($"clean_urls").as("url"))
+      .where($"url" =!= $"keep_url")
+      .select($"url", F.lit(false).as("dup_url"),
+        F.xxhash64(F.lit(salt), $"url").as("new_id"))
+    var resolved = graft.Caches.track(
+      dupResolved.unionByName(remapWith(anomalies.where($"n_clean" > 1), cfg.seed + 1)))
+    var lastRemapped = resolved.where($"new_id".isNotNull)
+    // dup_urls (contract violations) bound `resolved`, not birthday math:
+    // a self-unioned crawl makes it corpus-sized. The size is known
+    // eagerly (tiny cached count), so the broadcast hint is applied only
+    // when it actually fits — beyond that the apply-join degrades to a
+    // url-keyed shuffle under AQE instead of an OOM'd broadcast build.
+    val nResolved = resolved.count()
+    val broadcastable = nResolved <= 4000000L
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (broadcastable) F.broadcast(df) else df
+
+    // Rounds 2..idRemapRounds: a fresh remap target can collide with an
+    // untouched existing id (or another fresh target). The probe joins
+    // the corpus against the broadcast remap set — a narrow scan, paid
+    // ONLY when the previous round remapped anything. Groups resolve as
+    // before: min url keeps its current id, the rest take this round's
+    // salt. See DedupConfig.idRemapRounds for the residual-risk
+    // arithmetic that makes round 2 the last one that matters.
+    var round = 2
+    while (round <= cfg.idRemapRounds && !lastRemapped.isEmpty) {
+      val rIds = lastRemapped.select($"new_id".as("doc_id"), $"url")
+      val existing = hashed.select($"doc_id", $"url")
+        .where($"url".isNotNull)
+        .join(maybeBroadcast(resolved.select($"url", F.lit(true).as("_r"))),
+          Seq("url"), "left")
+        .where($"_r".isNull).drop("_r")
+        .join(F.broadcast(rIds.select($"doc_id")), Seq("doc_id"), "left_semi")
+      val groups = graft.Caches.track(
+        existing.unionByName(rIds.select($"doc_id", $"url"))
+          .groupBy($"doc_id").agg(
+            F.count(F.lit(1)).as("ng"),
+            F.min($"url").as("keep_url"),
+            F.sort_array(F.collect_list($"url")).as("clean_urls"))
+          .where($"ng" > 1))
+      val delta = remapWith(groups, cfg.seed + round)
+      resolved = graft.Caches.track(
+        resolved.join(delta.select($"url", F.lit(true).as("_upd")), Seq("url"), "left_anti")
+          .unionByName(delta))
+      lastRemapped = delta
+      round += 1
+    }
+
+    // Apply — at most one broadcast join against the tiny resolution
+    // table; skipped outright (plan-level) when the corpus is clean.
+    if (nResolved == 0L) hashed.withColumn("dup_url", F.lit(false))
+    else hashed
+      .join(maybeBroadcast(resolved), Seq("url"), "left")
+      .withColumn("dup_url", F.coalesce($"dup_url", F.lit(false)))
+      .withColumn("doc_id", F.coalesce($"new_id", $"doc_id"))
+      .drop("new_id")
   }
 
   /** Pre-clean for inputs that violate the unique-url contract: one row
@@ -234,9 +282,16 @@ object DedupPipeline {
       .drop("component")
     val ranked = withCluster.withColumn("rank",
       F.xxhash64(F.lit(cfg.canonicalSeed), $"doc_id"))
-    val winners = ranked.groupBy($"cluster_id")
-      .agg(F.min_by($"doc_id", F.struct($"rank", $"doc_id")).as("winner_id"))
-    ranked.join(winners, "cluster_id")
+    // window min_by, not groupBy+join-back: the join would reshuffle the
+    // ranked table on cluster_id anyway — co-locating each cluster in one
+    // task exactly like the window does — so the separate winner
+    // aggregation bought no skew protection, only a second full exchange
+    // and a join (serial-floor jobs per run, and a full id-table shuffle
+    // saved at 10^12 docs)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    ranked
+      .withColumn("winner_id",
+        F.min_by($"doc_id", F.struct($"rank", $"doc_id")).over(w))
       .withColumn("is_canonical", $"doc_id" === $"winner_id")
       .withColumn("is_duplicate", !$"is_canonical")
       .select("doc_id", "cluster_id", "is_canonical", "is_duplicate")
