@@ -162,6 +162,20 @@ object Bench {
       val n2 = (n * (roomSec * 0.9 / pairWallSec)).toLong / 1000 * 1000
       if (n2 >= 20000L) Some(n2) else None
     }
+
+    /** Projected wall of a SAME-SIZE pair 2, from pair 1's walls. The
+      * small wall is the stable signal; the big level is where the
+      * first-run-at-size penalty and CPU-steal spikes land (observed:
+      * big 127 s where the very next same-level run took 43.7 s), so the
+      * projection caps the big term at 0.6× small rather than trusting
+      * pair 1's raw big wall — one anomalous sample must not force a
+      * size split that then isolates the anomaly inside its own
+      * min-wall group. If the big level is GENUINELY that slow, pair 2
+      * overruns the projection by at most ~0.4× small, eating once into
+      * the hard reserve that precedes the (separately budget-guarded)
+      * headline phase. */
+    def projectedSameSizePair(tS: Double, tB: Double): Double =
+      tS * 1.05 + math.min(tB, tS * 0.6)
   }
 
   /** Alternating small/big pairs, ≥ 2 by construction. This VM shows
@@ -195,7 +209,7 @@ object Bench {
       val last = pairs.last
       if (pairs.size >= 2) {
         if (elapsedSec + last.wall * 1.05 > scalingDeadline) go = false
-      } else if (elapsedSec + last.wall * 1.05 > hardDeadline) {
+      } else if (elapsedSec + Sizing.projectedSameSizePair(last.tS, last.tB) > hardDeadline) {
         val room = hardDeadline - elapsedSec
         Sizing.downsize(n, room, last.wall) match {
           case Some(n2) =>

@@ -27,9 +27,20 @@ object FloorPhases {
     import spark.implicits._
 
     val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val detail = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val name = j.stageInfos.map(si => s"${si.name.takeWhile(_ != '(')}:${si.numTasks}")
+          .mkString("+")
+        starts.put(j.jobId, (System.nanoTime(), name.take(120)))
+      }
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
         jobs.incrementAndGet()
+        Option(starts.remove(j.jobId)).foreach { case (t0, name) =>
+          detail.add(f"      [${j.jobId}%3d] ${(System.nanoTime() - t0) / 1e9}%6.3f s $name")
+        }
+      }
     })
 
     // warmup
@@ -39,10 +50,13 @@ object FloorPhases {
     spark.catalog.clearCache()
 
     val cfg = DedupConfig(allowedLangs = Some(Set("en")))
+    val verbose = sys.env.contains("FLOOR_PHASES_VERBOSE")
     def phase[T](label: String)(f: => T): T = {
       val j0 = jobs.get; val t0 = System.nanoTime()
+      detail.clear()
       val r = f
       println(f"PHASE $label%-22s jobs=${jobs.get - j0}%3d wall=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      if (verbose) { detail.forEach(println(_)); detail.clear() }
       r
     }
 

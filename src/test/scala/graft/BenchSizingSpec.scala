@@ -55,6 +55,20 @@ class BenchSizingSpec extends AnyFunSuite {
     assert(perDocCost(7.0, 25000) === 0.0)
   }
 
+  test("projectedSameSizePair: anomalous big wall is capped by the small wall") {
+    // the observed round-5 anomaly: pair 1 = (113.65 small, 127.15 big) at
+    // 150k — raw projection (241·1.05 ≈ 253) forced a size split; the
+    // capped projection trusts the small wall and expects a normal big
+    assert(projectedSameSizePair(113.65, 127.15) === 113.65 * 1.05 + 113.65 * 0.6)
+    assert(projectedSameSizePair(113.65, 127.15) < 188)
+    // a normal pair projects from its own measured big wall
+    assert(projectedSameSizePair(105.4, 43.7) === 105.4 * 1.05 + 43.7)
+    // a genuinely degraded big level (r4 driver: 212 small / 158 big)
+    // still projects bounded by 1.65× small — the worst overrun past the
+    // projection is one big wall minus 0.6× small, inside the hard reserve
+    assert(projectedSameSizePair(212.0, 158.0) === 212.0 * 1.05 + 212.0 * 0.6)
+  }
+
   test("downsize: reproduces the observed rescue and refuses below 20k") {
     // observed in-session: pair 1 155 s at 150k, 101 s of room → 87k
     assert(downsize(150000, roomSec = 101, pairWallSec = 155) === Some(87000L))
