@@ -125,14 +125,21 @@ object Bench {
   object Sizing {
     /** Candidate corpus sizes, largest first: bigger corpora dilute the
       * core-count-independent serial floor (the Amdahl term that costs a
-      * few hundredths of efficiency at ≤ 120k docs). */
+      * few hundredths of efficiency at ≤ 120k docs — post the round-5
+      * floor cut, ~0.8 becomes reachable from ~140k up, so the rungs are
+      * deliberately fine in the 120–200k region the budget usually
+      * lands in). */
     val Ladder: Seq[Long] =
-      Seq(250000L, 180000L, 150000L, 120000L, 100000L, 80000L, 60000L)
+      Seq(250000L, 220000L, 200000L, 180000L, 160000L, 150000L, 140000L,
+        120000L, 100000L, 80000L, 60000L)
 
-    /** Wall model: wall(n) ≈ floor + c·n; pair ≈ 1.6× the small wall
-      * (big level measured 0.36–0.75× small across sessions). */
+    /** Wall model: wall(n) ≈ floor + c·n; pair ≈ 1.45× the small wall
+      * (big level measures 0.32–0.41× small in steady state across
+      * sessions — 0.45 keeps margin without reserving for the
+      * first-run-at-size big anomaly, which the downsize rescue and the
+      * same-size projection now absorb instead of the size estimate). */
     def estPairSec(cPerDoc: Double, n: Long): Double =
-      (8.0 + cPerDoc * n) * 1.6
+      (8.0 + cPerDoc * n) * 1.45
 
     /** Per-doc cost from the sizing warmup. The 10 s warmup floor
       * (steady-state serial planning + residual JIT at 25k docs) exceeds
@@ -343,7 +350,7 @@ object Bench {
     // construction at any width.
     val allPairs = scalingRuns(nSmall, nBig, nDocs,
       scalingDeadline = scalingDeadline,
-      hardDeadline = budgetSec - 90, maxPairs = 3)
+      hardDeadline = budgetSec - 90, maxPairs = 4)
     // The recorded ratio takes the MINIMUM wall per level WITHIN one
     // corpus size (walls are only comparable at equal size; sizes differ
     // only when the downsize rescue fired) — min = the least-contended,

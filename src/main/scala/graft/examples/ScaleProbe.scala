@@ -51,9 +51,16 @@ object ScaleProbe {
       }
       if (!warmed) { run(math.max(1000L, n / 20)); warmed = true }
       spark.catalog.clearCache()
+      def gcMs: Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).sum
+      }
+      val gc0 = gcMs
       val t0 = System.nanoTime()
       run(n)
-      println(f"SCALE cores=$cores docs=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"SCALE cores=$cores docs=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"gc=${(gcMs - gc0) / 1000.0}%.2f s")
       spark.stop()
     }
   }

@@ -14,18 +14,21 @@ class BenchSizingSpec extends AnyFunSuite {
 
   test("quiet VM: picks a large ladder size whose two pairs fit") {
     // c ≈ 0.70 ms/doc (quiet sessions measure 0.66–0.80):
-    // est pair(150k) = (8 + 105)·1.6 ≈ 181, two pairs ×1.15 ≈ 416;
-    // est pair(180k) ≈ 214, two pairs ≈ 493
-    assert(chooseCorpus(remainingSec = 450, cPerDoc = 0.70e-3) === 150000L)
+    // est pair(180k) = (8 + 126)·1.45 ≈ 194, two pairs ×1.15 ≈ 447;
+    // est pair(200k) ≈ 215, two pairs ≈ 494
+    assert(chooseCorpus(remainingSec = 450, cPerDoc = 0.70e-3) === 180000L)
     // more room admits the next rung up
-    assert(chooseCorpus(remainingSec = 510, cPerDoc = 0.70e-3) === 180000L)
+    assert(chooseCorpus(remainingSec = 500, cPerDoc = 0.70e-3) === 200000L)
   }
 
   test("loaded VM: smaller rung — size degrades before pair count") {
     // c ≈ 1.2 ms/doc (observed degraded sessions 1.1–1.5)
-    val n = chooseCorpus(remainingSec = 500, cPerDoc = 1.2e-3)
+    val n = chooseCorpus(remainingSec = 450, cPerDoc = 1.2e-3)
     assert(n === 100000L)
-    assert(2 * estPairSec(1.2e-3, n) * 1.15 <= 500)
+    assert(2 * estPairSec(1.2e-3, n) * 1.15 <= 450)
+    // today's moderate load (c ≈ 0.87) lands mid-ladder, not at 120k —
+    // the fine rungs exist exactly for this region
+    assert(chooseCorpus(remainingSec = 450, cPerDoc = 0.87e-3) === 140000L)
   }
 
   test("tiny budget: continuous fallback below the ladder, floor 20k") {
