@@ -32,3 +32,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// local-cluster[...] masters (the bench's N-vs-4N-EXECUTOR scaling
+// evidence) launch real executor JVMs through the Spark launcher, which
+// needs the scala version when SPARK_HOME has a dist layout without
+// build dirs, and a writable worker dir for executor logs.
+envVars ++= Map(
+  "SPARK_SCALA_VERSION" -> "2.13",
+  "SPARK_WORKER_DIR" -> "/tmp/spark-worker",
+)
+Test / envVars ++= Map(
+  "SPARK_SCALA_VERSION" -> "2.13",
+  "SPARK_WORKER_DIR" -> "/tmp/spark-worker",
+)

@@ -1,0 +1,62 @@
+package graft.examples
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.dedup.{DedupConfig, DedupPipeline}
+import graft.io.SyntheticCorpus
+
+/** Like [[ScaleProbe]], but each level is a REAL multi-executor local
+  * cluster (`local-cluster[n,1,mem]`): n executor JVMs with their own
+  * heaps, GC, and netty shuffle — the literal shape of the north_rule's
+  * "N and 4N executors" criterion, rather than N threads sharing one
+  * heap. `runMain graft.examples.ClusterScaleProbe <nDocs> <exec1>
+  * [exec2 ...]` — each level gets a fresh cluster; executor classes come
+  * from spark.executor.extraClassPath (sbt target dir).
+  */
+object ClusterScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 25000L
+    val levels = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4)
+    val memMb = sys.env.getOrElse("CLUSTER_PROBE_EXEC_MB", "6144").toInt
+    val classesDir = sys.env.getOrElse("CLUSTER_PROBE_CLASSES",
+      "/root/repo/target/scala-2.13/classes")
+    val localDir = "/dev/shm/spark-local"
+    Files.createDirectories(Paths.get(localDir))
+    var warmed = false
+    for (execs <- levels) {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      val spark = SparkSession.builder()
+        .master(s"local-cluster[$execs,1,$memMb]")
+        .appName(s"graft-cluster-scale-$execs")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.memory.fraction", "0.6")
+        .config("spark.local.dir", localDir)
+        .config("spark.executor.extraClassPath", classesDir)
+        .config("spark.executor.extraJavaOptions",
+          "--add-opens=java.base/java.lang=ALL-UNNAMED " +
+            "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED " +
+            "--add-opens=java.base/java.nio=ALL-UNNAMED " +
+            "--add-opens=java.base/java.util=ALL-UNNAMED " +
+            "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED " +
+            "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      def run(m: Long): Unit = {
+        val r = DedupPipeline.run(SyntheticCorpus.pages(spark, m),
+          DedupConfig(allowedLangs = Some(Set("en"))))
+        r.flagged.count(); r.cleanup()
+      }
+      // warmup every level: a fresh cluster's executors JIT from zero
+      run(math.max(1000L, n / 10))
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      run(n)
+      println(f"CLUSTER-SCALE execs=$execs docs=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.stop()
+    }
+  }
+}
