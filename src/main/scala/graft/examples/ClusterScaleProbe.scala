@@ -19,7 +19,7 @@ object ClusterScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 25000L
     val levels = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4)
-    val memMb = sys.env.getOrElse("CLUSTER_PROBE_EXEC_MB", "6144").toInt
+    val memMb = sys.env.getOrElse("CLUSTER_PROBE_EXEC_MB", "8192").toInt
     val classesDir = sys.env.getOrElse("CLUSTER_PROBE_CLASSES",
       "/root/repo/target/scala-2.13/classes")
     val localDir = "/dev/shm/spark-local"
@@ -34,6 +34,7 @@ object ClusterScaleProbe {
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.memory.fraction", "0.6")
         .config("spark.local.dir", localDir)
+        .config("spark.executor.memory", s"${memMb}m")
         .config("spark.executor.extraClassPath", classesDir)
         .config("spark.executor.extraJavaOptions",
           "--add-opens=java.base/java.lang=ALL-UNNAMED " +
@@ -41,7 +42,8 @@ object ClusterScaleProbe {
             "--add-opens=java.base/java.nio=ALL-UNNAMED " +
             "--add-opens=java.base/java.util=ALL-UNNAMED " +
             "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED " +
-            "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED")
+            "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED " +
+            s"-Xms${memMb}m -XX:+AlwaysPreTouch")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")

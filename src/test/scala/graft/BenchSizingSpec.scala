@@ -32,8 +32,8 @@ class BenchSizingSpec extends AnyFunSuite {
   }
 
   test("tiny budget: continuous fallback below the ladder, floor 20k") {
-    val n = chooseCorpus(remainingSec = 100, cPerDoc = 1.0e-3)
-    assert(n === 20000L) // derived 19k clamps up to the floor
+    val n = chooseCorpus(remainingSec = 70, cPerDoc = 1.0e-3)
+    assert(n === 20000L) // derived 13k clamps up to the floor
     val n2 = chooseCorpus(remainingSec = 150, cPerDoc = 1.0e-3)
     assert(n2 > 20000L && n2 < 60000L)
     // the chosen size really leaves room for ~2 estimated pairs
@@ -60,6 +60,21 @@ class BenchSizingSpec extends AnyFunSuite {
     // 0.60 ms/doc raw where the 180k slope is ~0.85 — calibrated it
     // projects 0.81, sizing 180k pairs within 10% of their real wall
     assert(perDocCost(25.0, 25000) > 0.75e-3)
+  }
+
+  test("cluster-mode constants: the 18:42 session's mis-pick is corrected") {
+    // Observed: cluster warmup 30.2 s; the thread-mode constants read
+    // c = 1.09 ms/doc → est pair 202 s → picked 120k where the real pair
+    // was 131 s (sizing 54% high, ceiling wasted). Cluster constants
+    // (floor 13 s, cal 1.1) read the measured 120–220k slope:
+    val c = perDocCost(30.2, 25000, warmupFloorSec = 13.0, slopeCal = 1.1)
+    assert(c > 0.70e-3 && c < 0.82e-3) // measured slope 0.66–0.69 + margin
+    // with the ~465 s that session had left, sizing lands 160k, not 120k
+    assert(chooseCorpus(remainingSec = 465, cPerDoc = c, floorSec = 13.0) === 160000L)
+    // and the pair estimate is within ~25% of the measured 220k pair
+    // (215–225 s), instead of the 54% miss
+    val est220 = estPairSec(0.66e-3, 220000, floorSec = 13.0)
+    assert(est220 > 215 && est220 < 270)
   }
 
   test("projectedSameSizePair: anomalous big wall is capped by the small wall") {
