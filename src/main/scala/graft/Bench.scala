@@ -595,12 +595,21 @@ object Bench {
     }
 
     def writeBenchMd(stages: Seq[(String, Double, Double)]): Unit = {
-      val stageRows = stages.map { case (k, ts, tb) =>
-        // sub-2 s stage walls are dominated by per-job driver latency at
-        // this corpus size — flagged so noise isn't read as signal
-        val mark = if (ts < 2.0) " †" else ""
-        f"|| $k$mark | $ts%.2f | $tb%.2f | ${ts / tb}%.2f× |"
-      }.mkString("\n")
+      val stageRows =
+        if (stages.isEmpty)
+          // the stage table is the LOWEST-priority phase (a better
+          // efficiency sample always displaces it) — say so rather than
+          // render an empty table
+          "|_(skipped this run: the scaling pairs + headline phase " +
+            "consumed the budget — the table is the lowest-priority " +
+            "phase; a prior run's table survives in git history and " +
+            "`graft.examples.StageProbe` reproduces it on demand)_"
+        else stages.map { case (k, ts, tb) =>
+          // sub-2 s stage walls are dominated by per-job driver latency at
+          // this corpus size — flagged so noise isn't read as signal
+          val mark = if (ts < 2.0) " †" else ""
+          f"|| $k$mark | $ts%.2f | $tb%.2f | ${ts / tb}%.2f× |"
+        }.mkString("\n")
       val bench =
       f"""# BENCH — graft engine
          |

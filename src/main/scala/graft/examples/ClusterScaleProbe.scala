@@ -20,6 +20,13 @@ object ClusterScaleProbe {
     val n = if (args.nonEmpty) args(0).toLong else 25000L
     val levels = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 4)
     val memMb = sys.env.getOrElse("CLUSTER_PROBE_EXEC_MB", "8192").toInt
+    // A/B knob: size each executor JVM's internal thread pools (GC, JIT,
+    // netty — all derived from availableProcessors) to its 1-core
+    // allocation instead of the 32-core host, the way a cgroup-limited
+    // real cluster container would. "0" = host-sized (status quo).
+    val apc = sys.env.getOrElse("CLUSTER_PROBE_APC", "0").toInt
+    val apcOpts =
+      if (apc > 0) s" -XX:ActiveProcessorCount=$apc -XX:+UseG1GC" else ""
     val classesDir = sys.env.getOrElse("CLUSTER_PROBE_CLASSES",
       "/root/repo/target/scala-2.13/classes")
     val localDir = "/dev/shm/spark-local"
@@ -43,7 +50,7 @@ object ClusterScaleProbe {
             "--add-opens=java.base/java.util=ALL-UNNAMED " +
             "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED " +
             "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED " +
-            s"-Xms${memMb}m -XX:+AlwaysPreTouch")
+            s"-Xms${memMb}m -XX:+AlwaysPreTouch$apcOpts")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
