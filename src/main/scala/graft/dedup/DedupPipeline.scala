@@ -385,7 +385,29 @@ object DedupPipeline {
           .select($"a", $"b")
       else spark.emptyDataset[(Long, Long)].toDF("a", "b"))
 
-    // Op2c — group merge = connected components (reference put_dup_groups)
+    // Op2c — group merge = connected components (reference put_dup_groups).
+    // The two edge sources are independent given the signature checkpoint,
+    // so their first-touch materializations run CONCURRENTLY instead of
+    // back-to-back inside CC's first action: each branch is a serial chain
+    // of AQE stage-submission round-trips (~21 jobs LSH-verify, ~26
+    // substring), and overlapping the chains removes min(t_lsh, t_substr)
+    // of executor-count-independent latency from every run — on a real
+    // cluster the same submission overlap also fills otherwise-idle
+    // executors. Race discipline (same as the report futures below): each
+    // future first-touches a DIFFERENT lazy checkpoint, and their shared
+    // upstream (sigsAll) is forced to be materialized first, on this
+    // thread.
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      if (!org.apache.spark.sql.graftshim.GraftSqlShim.isMaterializedLocalCheckpoint(sigsAll))
+        sigsAll.count()
+      val scoredF = Future(scored.count())
+      val substrF = Future(substr.count())
+      Await.result(scoredF, Duration.Inf)
+      Await.result(substrF, Duration.Inf)
+    }
     val edges = verified.union(substr)
     val assign = ConnectedComponents.run(edges) // (id, component)
 

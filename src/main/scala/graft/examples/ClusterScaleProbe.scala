@@ -27,6 +27,19 @@ object ClusterScaleProbe {
     val apc = sys.env.getOrElse("CLUSTER_PROBE_APC", "0").toInt
     val apcOpts =
       if (apc > 0) s" -XX:ActiveProcessorCount=$apc -XX:+UseG1GC" else ""
+    // A/B knob: spark.locality.wait. Delay scheduling only ever DELAYS the
+    // multi-executor level (cached tracked frames + reduce-side map-output
+    // locality give tasks preferred executors; a free slot elsewhere waits
+    // up to this long per locality tier) — the single-executor level is
+    // trivially all-local. "" = Spark default (3s).
+    val localityWait = sys.env.getOrElse("CLUSTER_PROBE_LOCALITY_WAIT", "")
+    // A/B knob: arbitrary extra session confs, "k=v;k=v" — for floor
+    // experiments (shuffle partitions, AQE coalescing, scheduler) without
+    // a recompile per hypothesis.
+    val extraConf = sys.env.getOrElse("CLUSTER_PROBE_CONF", "")
+      .split(';').filter(_.contains('=')).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }.toSeq
     val classesDir = sys.env.getOrElse("CLUSTER_PROBE_CLASSES",
       "/root/repo/target/scala-2.13/classes")
     val localDir = "/dev/shm/spark-local"
@@ -34,7 +47,10 @@ object ClusterScaleProbe {
     var warmed = false
     for (execs <- levels) {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      val spark = SparkSession.builder()
+      val builder0 = SparkSession.builder()
+      if (localityWait.nonEmpty) builder0.config("spark.locality.wait", localityWait)
+      extraConf.foreach { case (k, v) => builder0.config(k, v) }
+      val spark = builder0
         .master(s"local-cluster[$execs,1,$memMb]")
         .appName(s"graft-cluster-scale-$execs")
         .config("spark.sql.shuffle.partitions", "8")

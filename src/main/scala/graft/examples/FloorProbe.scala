@@ -25,12 +25,37 @@ object FloorProbe {
     val cores = if (args.length > 1) args(1).toInt else 4
     val localDir = "/dev/shm/spark-local"
     Files.createDirectories(Paths.get(localDir))
-    val spark = SparkSession.builder().master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", math.max(cores, 8).toString)
+    // FLOOR_PROBE_CLUSTER=1: run the identical timeline instrument on a
+    // real local-cluster of <cores> single-core executor JVMs (the bench's
+    // scaling-mode topology) so the cluster-mode floor decomposes into the
+    // same per-job spans as the thread-mode one.
+    val clusterMode = sys.env.getOrElse("FLOOR_PROBE_CLUSTER", "0") == "1"
+    val builder = SparkSession.builder()
+      .config("spark.sql.shuffle.partitions",
+        if (clusterMode) "8" else math.max(cores, 8).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.memory.fraction", "0.6")
       .config("spark.local.dir", localDir)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    if (clusterMode) {
+      val memMb = 8192
+      val classesDir = sys.env.getOrElse("CLUSTER_PROBE_CLASSES",
+        "/root/repo/target/scala-2.13/classes")
+      builder.master(s"local-cluster[$cores,1,$memMb]")
+        .config("spark.locality.wait",
+          sys.env.getOrElse("CLUSTER_PROBE_LOCALITY_WAIT", "3s"))
+        .config("spark.executor.memory", s"${memMb}m")
+        .config("spark.executor.extraClassPath", classesDir)
+        .config("spark.executor.extraJavaOptions",
+          "--add-opens=java.base/java.lang=ALL-UNNAMED " +
+            "--add-opens=java.base/java.lang.invoke=ALL-UNNAMED " +
+            "--add-opens=java.base/java.nio=ALL-UNNAMED " +
+            "--add-opens=java.base/java.util=ALL-UNNAMED " +
+            "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED " +
+            "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED " +
+            s"-Xms${memMb}m -XX:+AlwaysPreTouch")
+    } else builder.master(s"local[$cores]")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     final case class JobSpan(id: Int, desc: String, t0: Long, var t1: Long)
