@@ -181,8 +181,11 @@ object Lsh {
     * of signature per row just to equality-match an id). */
   def verifyPairs(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     val p = graft.Caches.track(pairs) // consumed twice (member ids + join)
+    // no .distinct(): the left_semi join below dedupes its right side
+    // anyway, and the distinct would cost one more full exchange of the
+    // same id volume it saves — one less serial AQE stage per run
     val memberIds = p.select(F.col("a").as("doc_id"))
-      .union(p.select(F.col("b").as("doc_id"))).distinct()
+      .union(p.select(F.col("b").as("doc_id")))
     val needed = sigs.join(memberIds, Seq("doc_id"), "left_semi")
       .select("doc_id", "minhash", "simhash")
     val sa = needed.select(F.col("doc_id").as("a"),

@@ -90,8 +90,10 @@ object SubstringDedup {
     // lookup.
     val asciiFold = (c: org.apache.spark.sql.Column) =>
       F.translate(c, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+    // no .distinct(): the left_semi join dedupes its right side anyway —
+    // the distinct would add one full exchange to save nothing
     val candDocs = cand.select(F.col("a").as("doc_id"))
-      .union(cand.select(F.col("b").as("doc_id"))).distinct()
+      .union(cand.select(F.col("b").as("doc_id")))
     val needed = reps.join(candDocs, Seq("doc_id"), "left_semi")
       .select(F.col("doc_id"), asciiFold(F.col("text")).as("t"))
     val ta = needed.select(F.col("doc_id").as("a"), F.col("t").as("text_a"))
