@@ -75,12 +75,13 @@ object Bench {
   /** Soft wall-clock budget for the whole bench: optional passes are
     * skipped once exceeded, so an unknown driver timeout can't leave the
     * round with no JSON line at all. */
-  // 660 (not 700): the clock starts at JVM start, but the driver's sbt
-  // wrapper adds ~15-20 s launcher/compile overhead outside it, and a
-  // 716 s total was observed against the 700 default — the margin keeps
-  // the whole sbt invocation under ~700 s even with the stage table
+  // 640 (not 700): the clock starts at JVM start, but the driver's sbt
+  // wrapper adds launcher/compile overhead outside it — observed 15-32 s
+  // (sbt totals 658-690 on back-to-back runs with budget 660, one 716 s
+  // total against an earlier 700 default) — the margin keeps the whole
+  // sbt invocation under ~700 s even with the stage table
   private lazy val budgetSec =
-    sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "660").toDouble
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "640").toDouble
 
   private val cfg = DedupConfig(allowedLangs = Some(Set("en")))
 
