@@ -525,7 +525,11 @@ object Similarity {
     val capped = {
       val ok = assigned.groupBy("cell").count()
         .where(F.col("count").between(1, maxCell)).select("cell")
-      assigned.join(ok.hint("shuffle_hash"), Seq("cell"))
+      // broadcast, not shuffle_hash: `ok` has at most C rows (cells ARE
+      // centroid ids, and the codebook is driver-held by construction),
+      // so the eligibility filter never justifies exchanging the n-row
+      // assignment table — one less full shuffle at any corpus size
+      assigned.join(F.broadcast(ok), Seq("cell"))
     }
     val probes = ranked.where(F.col("cr") <= nProbe)
       .select(F.col("vec_id"), F.col("qu").as("qq"), F.col("cell"))
