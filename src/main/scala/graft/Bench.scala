@@ -382,22 +382,37 @@ object Bench {
     val warmB = floorB + math.max(0.0, s1.wall * 12000.0 / nDocs0 - floorS) / width * 1.05
     val warmS = s1.wall * 12000.0 / nDocs0 + floorS * (1 - 12000.0 / nDocs0)
 
+    // Every remaining block is individually fail-soft: a transient
+    // session/cluster-launch failure mid-schedule must cost ONE block,
+    // not the whole round's scaling record (bench.json still carries
+    // only the in_progress stamp at this point).
+    def block(label: String)(body: => Unit): Unit =
+      try body
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $label failed (${e.getMessage}); " +
+          "recording what completed")
+      }
+
     // Big block: B1 always (it is the cheapest level and the ratio is
     // nothing without it); B2 if it still leaves room for the small
     // closing block.
-    val big = openLevel(nBig)
-    val b1 = timed(big, small = false, nDocs0)
-    val smallCloseCost = launchSec + warmS + s1.wall * 1.05
-    if (elapsedSec + b1.wall * 1.05 + smallCloseCost < hardDeadline)
-      timed(big, small = false, nDocs0)
-    closeLevel(big)
+    block("big block") {
+      val big = openLevel(nBig)
+      val b1 = timed(big, small = false, nDocs0)
+      val smallCloseCost = launchSec + warmS + s1.wall * 1.05
+      if (elapsedSec + b1.wall * 1.05 + smallCloseCost < hardDeadline)
+        timed(big, small = false, nDocs0)
+      closeLevel(big)
+    }
 
     // Small closing block: same size if it fits; else a downsized
     // size-matched PAIR (small + one more big session); else nothing.
     if (elapsedSec + launchSec + warmS + s1.wall * 1.05 < hardDeadline) {
-      val small2 = openLevel(nSmall)
-      timed(small2, small = true, nDocs0)
-      closeLevel(small2)
+      block("closing small block") {
+        val small2 = openLevel(nSmall)
+        timed(small2, small = true, nDocs0)
+        closeLevel(small2)
+      }
     } else {
       val room = hardDeadline - elapsedSec
       Sizing.downsize(nDocs0, room,
@@ -405,12 +420,14 @@ object Bench {
         case Some(n2) =>
           System.err.println(f"[bench] S2@$nDocs0 does not fit ($room%.0f s " +
             f"left) — closing with a downsized pair at $n2 docs")
-          val small2 = openLevel(nSmall)
-          timed(small2, small = true, n2)
-          closeLevel(small2)
-          val big2 = openLevel(nBig)
-          timed(big2, small = false, n2)
-          closeLevel(big2)
+          block("downsized closing pair") {
+            val small2 = openLevel(nSmall)
+            timed(small2, small = true, n2)
+            closeLevel(small2)
+            val big2 = openLevel(nBig)
+            timed(big2, small = false, n2)
+            closeLevel(big2)
+          }
         case None =>
           System.err.println(f"[bench] hard deadline: no room for any " +
             "closing small run ≥ 20k docs; recording what completed")
@@ -663,7 +680,10 @@ object Bench {
     // a too-optimistic projection costs at most one overrun into the
     // final margin; skipped once the recorded ratio already clears the
     // target.
-    {
+    // try: the scaling + headline results above are not yet on disk —
+    // a transient session failure here must fall through to
+    // writeArtifacts with whatever completed, not kill the bench.
+    try {
       val bonusOverhead = 2 * wLaunch +
         Sizing.warmSmallSec(cPerDoc, wFloorS) + Sizing.warmBigSec(cPerDoc, wFloorB)
       while (efficiency < 0.82 &&
@@ -684,6 +704,9 @@ object Bench {
           RunSample(small = false, docs, tB, spB, atB)
         best = bestGroup(allRuns)
       }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bonus pair failed (${e.getMessage}); " +
+        "recording what completed")
     }
 
     // -- 3. per-stage scaling table (smaller corpus; optional over budget).
