@@ -393,31 +393,21 @@ object SparkEntry {
       // the rolling-hash WinnowedFingerprints (64-bit polynomial — not
       // expressible in overflow-checked SQL), property-tested in
       // SignatureExpressionsSpec and recall-tested in the pipeline.
-      // Shape: explode gram positions (each w-gram md5-hashed exactly
-      // once), then the win-window minimum as a windowed min over
-      // position order — one shuffle on doc_id, no nested-lambda
-      // recomputation (a single nested expr re-hashes all grams per
-      // window: observed 10× wall). A window at position i covers rows
-      // i..i+win-1; when a doc has fewer than win grams only i=1 is kept
-      // and its window spans all grams (the single-min degenerate case).
-      {
-        val w = Window.partitionBy("doc_id").orderBy("i")
-          .rowsBetween(Window.currentRow, winnowWin - 1)
-        docs(s, dir)
-          .select(F.col("doc_id"),
-            F.substring(F.col("text"), 1, winnowMaxChars).as("text"))
-          .select(F.col("doc_id"), F.col("text"),
-            (F.length(F.col("text")) - winnowW + 1).as("ng"))
-          .where(F.col("ng") >= 1)
-          .select(F.col("doc_id"), F.col("text"), F.col("ng"),
-            F.explode(F.sequence(F.lit(1), F.col("ng"))).as("i"))
-          .select(F.col("doc_id"), F.col("ng"), F.col("i"),
-            F.expr(s"cast(conv(substring(md5(encode(substring(text, cast(i as int), $winnowW), 'utf-8')), 1, 15), 16, 10) as bigint)").as("hv"))
-          .withColumn("wmin", F.min("hv").over(w))
-          .where(F.col("i") <= F.greatest(F.col("ng") - winnowWin + 1, F.lit(1)))
-          .select(F.col("doc_id"), F.col("wmin").as("fp"))
-          .distinct()
-      }),
+      // Shape (round 6, guide §1.2 "remove shuffles outright"): ONE
+      // codegen'd per-row pass (Md5WinnowedFingerprints — monotone-deque
+      // winnow, O(grams) per doc) + explode — a zero-Exchange projection,
+      // exactly the per-row form the DuckDB oracle already computes. The
+      // previous shape exploded every gram position (one row per char of
+      // the corpus), shuffled them on doc_id for a windowed min, and
+      // de-duplicated with one more exchange — both exchanges bought
+      // nothing: a doc's fingerprint set never needs another doc's rows
+      // (parity-tested in TextWindowExpressionsSpec; same SQL oracle).
+      docs(s, dir)
+        .select(F.col("doc_id"),
+          F.substring(F.col("text"), 1, winnowMaxChars).as("text"))
+        .select(F.col("doc_id"),
+          F.explode(md5WinnowedFingerprints(F.col("text"), winnowW, winnowWin))
+            .as("fp"))),
 
     // --- production signature expressions, driver-oracled -----------------
     "q_winnow_production" -> ((s, dir) =>

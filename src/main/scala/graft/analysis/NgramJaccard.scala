@@ -52,15 +52,31 @@ object NgramJaccard {
           - F.size(F.array_intersect(F.col("x.g"), F.col("y.g")))).as("union_size"))
   }
 
-  /** Inverted-index form: postings → shared-gram counts → join back onto
-    * the pair frame (pairs with zero overlap included via left join). */
+  /** Inverted-index form: postings → per-gram member lists → pair counts
+    * → join back onto the pair frame (pairs with zero overlap included
+    * via left join).
+    *
+    * Round 6 (guide §2.3/§2.4): shared-gram pairs come from ONE
+    * aggregation of the postings into per-(block, gram) doc-id lists plus
+    * a two-explode pair expansion (the Lsh pair-generation shape) — the
+    * round-5 form SELF-JOINED the exploded postings on (blk, gram
+    * string), which ran the n-gram explode twice and moved every gram
+    * string through two join sides; now each posting crosses exactly one
+    * exchange and the gram string ships once. Member lists are bounded by
+    * block size — same block-bound caveat as the pair frame itself (this
+    * operator scores CALLER-BOUNDED blocks; corpus-scale candidate
+    * generation is the LSH pipeline's job). */
   def indexed(docs: DataFrame, blockCol: String, n: Int): DataFrame = {
     // consumed twice (postings + sizes); released via graft.Caches
     val d = graft.Caches.track(prepared(docs, blockCol, n))
     val postings = d.select(F.col("blk"), F.col("doc_id"), F.explode(F.col("g")).as("t"))
-    val shared = postings.as("x").join(postings.as("y"), Seq("blk", "t"))
-      .where(F.col("x.doc_id") < F.col("y.doc_id"))
-      .groupBy(F.col("x.doc_id").as("doc_a"), F.col("y.doc_id").as("doc_b"))
+    val shared = postings.groupBy("blk", "t")
+      .agg(F.collect_list(F.col("doc_id")).as("ids"))
+      .where(F.size(F.col("ids")) >= 2)
+      .select(F.explode(F.col("ids")).as("a"), F.col("ids"))
+      .select(F.col("a"), F.explode(F.col("ids")).as("b"))
+      .where(F.col("a") < F.col("b"))
+      .groupBy(F.col("a").as("doc_a"), F.col("b").as("doc_b"))
       .agg(F.count(F.lit(1)).as("inter_size"))
     val sizes = d.select("blk", "doc_id", "ng")
     val allPairs = sizes.as("x").join(sizes.as("y"),

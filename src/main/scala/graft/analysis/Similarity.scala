@@ -28,9 +28,12 @@ import org.apache.spark.sql.{functions => F}
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    F.aggregate(F.zip_with(a, b, _ * _), F.lit(0.0), _ + _)
+  /** Dot product of two array<float|double> columns (double). Codegen'd
+    * primitive loop (graft.functions.DoubleDot) — the previous
+    * `aggregate(zip_with(...))` higher-order form is CodegenFallback,
+    * i.e. interpreted per row, and dominated the ANN scoring joins;
+    * bit-identical fold order (parity: VectorExpressionsSpec). */
+  def dot(a: Column, b: Column): Column = graft.functions.doubleDot(a, b)
 
   def norm(a: Column): Column = F.sqrt(dot(a, a))
 
@@ -130,8 +133,11 @@ object Similarity {
       .select(F.col("vec_id"),
         F.transform(F.col("emb"), x => x / F.col("nrm")).as("unit"))
       .withColumn("blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(numBlocks)))
-    val blocks = unit.groupBy("blk")
-      .agg(F.collect_list(F.struct(F.col("vec_id"), F.col("unit"))).as("rows"))
+    // cached: the query and candidate sides of the cell cross-join are the
+    // SAME numBlocks-row relation — uncached, the scan + unit projection +
+    // collect_list aggregation ran twice (round-6 fix; guide §2.4)
+    val blocks = graft.Caches.track(unit.groupBy("blk")
+      .agg(F.collect_list(F.struct(F.col("vec_id"), F.col("unit"))).as("rows")))
     val qSide = blocks.select(F.col("rows").as("qrows"))
     val cSide = blocks.select(F.col("rows").as("crows"))
     val cells = qSide.crossJoin(cSide)
@@ -153,37 +159,21 @@ object Similarity {
   }
 
   // ------------------------------------------------- integer RHP bucketing
-
-  /** 31-bit lanes keep every product under 2^58, so the identical
-    * arithmetic runs overflow-free in engines that check overflow
-    * (DuckDB) — the property that makes ANN buckets oracle-replayable. */
-  private val Mask31 = 0x7FFFFFFFL
-  private val HashMul = 0x45d9f3bL
-
-  /** ±1 hyperplane sign for (probe rep, plane p, component i): two rounds
-    * of multiply-then-xorshift over a small affine seed, then parity.
-    * Multiplication alone is linear (mod-M LCG steps leave planes
-    * correlated — observed: 500 vectors collapsing into 4 of 64 buckets);
-    * the xor-shift between multiplies breaks linearity. Data-independent,
-    * pure 31-bit integer ops — reproducible verbatim in SQL with
-    * `&`, `>>`, `xor` (see SparkEntry's q_ann_lsh_top1 oracle). */
-  private def hashSign(rep: Int, p: Int, i: Column): Column = {
-    val mask = F.lit(Mask31)
-    def round(h: Column): Column = {
-      val m = (h * HashMul).bitwiseAND(mask)
-      m.bitwiseXOR(F.shiftright(m, 16))
-    }
-    val h0 = (F.lit(rep.toLong * 1000003L + p.toLong * 8191L + 1L) + i * 127L)
-      .bitwiseAND(mask)
-    val h = round(round(h0))
-    F.when(h.bitwiseAND(F.lit(1L)) === 0L, 1L).otherwise(-1L)
-  }
+  //
+  // Round 6: the per-plane hashSign/aggregate column stacks moved into
+  // codegen'd Catalyst expressions (graft.functions.RhpBucket /
+  // QuantizedVec / QuantizedUnitVec / LongDot — same 31-bit-lane
+  // arithmetic, same IEEE quantization, parity-tested bit-for-bit in
+  // VectorExpressionsSpec). The HOF stacks were CodegenFallback:
+  // every component of every row walked an interpreted expression tree,
+  // and on the candidate-scoring joins that interpretation — not the
+  // shuffles — was the dominant cost. The SQL-oracle replays are
+  // unchanged (identical arithmetic, identical values).
 
   /** Components quantized to integer micro-units: floor(x·10^6 + 0.5) is
     * the same IEEE expression in every engine, so the quantized vector —
     * and everything derived from it — is bit-identical cross-engine. */
-  private def quantized(emb: Column): Column =
-    F.transform(emb, x => F.floor(x * 1000000.0d + 0.5d))
+  private def quantized(emb: Column): Column = graft.functions.quantizedVec(emb)
 
   /** Unit vector quantized to integer micro-units — the ANN ranking key
     * basis. Ranking by the INTEGER dot of quantized units (instead of a
@@ -195,44 +185,48 @@ object Similarity {
     * exact oracle. Relative quantization error is ~1e-6·√dim — far below
     * any meaningful similarity resolution, so recall is unaffected. */
   private def quantizedUnit(emb: Column, nrm: Column): Column =
-    F.transform(emb, x => F.floor(x / nrm * 1000000.0d + 0.5d))
+    graft.functions.quantizedUnitVec(emb, nrm)
 
   /** Integer dot product of two array<long> columns (micro-unit scale:
     * ≤1e12 per component product — overflow-free up to ~9e6 dims even in
     * overflow-checked engines). */
-  private def intDot(a: Column, b: Column): Column =
-    F.aggregate(F.zip_with(a, b, _ * _), F.lit(0L), _ + _)
+  private def intDot(a: Column, b: Column): Column = graft.functions.longDot(a, b)
 
   /** Random-hyperplane LSH bucket id (`numPlanes` sign bits packed), all
     * integer arithmetic: bit_p = sign of Σ_i quant(emb[i]) · hashSign(p,i).
     * `rep` selects an independent plane set for multi-probe. */
-  def rhpBucket(emb: Column, numPlanes: Int, rep: Int = 0): Column = {
-    val qv = quantized(emb)
-    (0 until numPlanes).map { p =>
-      val proj = F.aggregate(
-        F.zip_with(qv,
-          F.transform(F.sequence(F.lit(0), F.size(emb) - 1), i => hashSign(rep, p, i)),
-          _ * _),
-        F.lit(0L), _ + _)
-      F.when(proj >= 0, F.lit(1L << p)).otherwise(F.lit(0L))
-    }.reduce(_ + _)
-  }
+  def rhpBucket(emb: Column, numPlanes: Int, rep: Int = 0): Column =
+    graft.functions.rhpBucketOf(emb, numPlanes, rep)
 
-  /** (rep, bucket, vec_id, emb, nrm) for probe reps 0..probes-1, hot
-    * buckets dropped: sizes are aggregated first (partial-agg counts — a
+  /** Eligible bucket members for probe reps 0..probes-1, hot buckets
+    * dropped: sizes are aggregated first (partial-agg counts — a
     * degenerate bucket costs a counter per task) and only buckets with
     * 2..maxBucket members are joined back. No bucket's member set ever
-    * co-locates before this filter. */
+    * co-locates before this filter.
+    *
+    * Round 6 (guide §2.4/§3.1): the bucketed relation is CACHED — the
+    * eligibility counts, and the a- and b-sides of every downstream
+    * self-join, previously re-ran the whole scan + signature computation
+    * once each (4 full evaluations visible in the round-5 plan); now they
+    * read one cached narrow relation (`payload` keeps it as narrow as the
+    * caller's scoring needs). The eligibility table is BROADCAST, not
+    * shuffle-hashed: it is bounded by 2^numPlanes·probes rows (two longs
+    * each), so exchanging the n-row member table against it was a wasted
+    * full shuffle — same fix the round-5 PLANS audit made for IVF's cell
+    * filter. For plane counts past 20 the bound stops being small, so the
+    * hint degrades to AQE's runtime choice. */
   private def eligibleMembers(e: DataFrame, numPlanes: Int, probes: Int,
-                              maxBucket: Int): DataFrame = {
-    val bucketed = (0 until probes)
-      .map(r => e.withColumn("rep", F.lit(r))
-        .withColumn("bucket", rhpBucket(F.col("emb"), numPlanes, r)))
-      .reduce(_ unionByName _)
+                              maxBucket: Int, payload: Seq[Column]): DataFrame = {
+    val bucketed = graft.Caches.track((0 until probes)
+      .map(r => e.select(F.lit(r).as("rep") +:
+        rhpBucket(F.col("emb"), numPlanes, r).as("bucket") +: payload: _*))
+      .reduce(_ unionByName _))
     val eligible = bucketed.groupBy("rep", "bucket").count()
       .where(F.col("count").between(2, maxBucket))
       .select("rep", "bucket")
-    bucketed.join(eligible.hint("shuffle_hash"), Seq("rep", "bucket"))
+    val hinted =
+      if (numPlanes <= 20) F.broadcast(eligible) else eligible
+    bucketed.join(hinted, Seq("rep", "bucket"))
   }
 
   /** Approximate top-k: candidates restricted to the same RHP bucket in
@@ -243,8 +237,12 @@ object Similarity {
     * candidate-set definition SQL-replayable (the q_ann_lsh_top1 oracle). */
   def lshTopK(embeddings: DataFrame, k: Int, numPlanes: Int = 8,
               probes: Int = 1, maxBucket: Int = 10000): DataFrame = {
-    val members = eligibleMembers(prepared(embeddings), numPlanes, probes, maxBucket)
-      .withColumn("qu", quantizedUnit(F.col("emb"), F.col("nrm")))
+    // payload = the quantized-unit ranking key only: the cached member
+    // relation (and hence the candidate self-join below) carries no raw
+    // embedding bytes
+    val members = eligibleMembers(prepared(embeddings), numPlanes, probes, maxBucket,
+      payload = Seq(F.col("vec_id"),
+        quantizedUnit(F.col("emb"), F.col("nrm")).as("qu")))
     val a = members.select(F.col("rep"), F.col("bucket"), F.col("vec_id"),
       F.col("qu").as("qa"))
     val b = members.select(F.col("rep"), F.col("bucket"), F.col("vec_id").as("nn_id"),
@@ -270,7 +268,10 @@ object Similarity {
   def nearDupPairsBucketed(embeddings: DataFrame, threshold: Double,
                            numPlanes: Int = 8, probes: Int = 2,
                            maxBucket: Int = 10000): DataFrame = {
-    val members = eligibleMembers(prepared(embeddings), numPlanes, probes, maxBucket)
+    // payload keeps emb+nrm: the verify is an EXACT cosine, so the raw
+    // vector must reach the candidate join (unlike lshTopK's integer key)
+    val members = eligibleMembers(prepared(embeddings), numPlanes, probes, maxBucket,
+      payload = Seq(F.col("vec_id"), F.col("emb"), F.col("nrm")))
     val a = members.select(F.col("rep"), F.col("bucket"),
       F.col("vec_id").as("vec_a"), F.col("emb").as("ea"), F.col("nrm").as("na"))
     val b = members.select(F.col("rep"), F.col("bucket"),

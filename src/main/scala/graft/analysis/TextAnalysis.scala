@@ -103,28 +103,22 @@ object TextAnalysis {
     * output.
     *
     * All-integer arithmetic ((1000·Σalpha) div Σchars) — exactly
-    * SQL-replayable, no float rounding. Shape: posexplode + running-sum
-    * window + min aggregation — one shuffle on `idCol`, each token row
-    * touched once (the nested-HOF form recomputes every window slice and
-    * is quadratic in `win`; see the CollapseProject note in
-    * SparkEntry's q_winnow_fingerprints). */
+    * SQL-replayable, no float rounding. Shape (round 6, guide §1.2
+    * "remove shuffles outright"): ONE codegen'd per-row pass
+    * (graft.functions.WindowedMinQuality — running-sum slide, O(tokens)
+    * per doc) over the pruned scan — a zero-Exchange projection. The
+    * previous shape exploded every token, shuffled the corpus's token
+    * rows on `idCol` for a running-sum window, and re-aggregated; the
+    * sliding windows a doc's score needs never leave its own row, so
+    * that exchange bought nothing at any scale (parity-tested in
+    * TextWindowExpressionsSpec; same SQL oracle). */
   def windowedMinQualityPermille(docs: DataFrame, win: Int,
                                  idCol: String = "doc_id",
                                  textCol: String = "text"): DataFrame = {
     require(win >= 1, s"win must be >= 1, got $win")
-    val w = Window.partitionBy(idCol).orderBy("i")
-      .rowsBetween(Window.currentRow, win - 1)
-    docs.select(F.col(idCol), tokens(F.col(textCol)).as("ws"))
-      .where(F.size(F.col("ws")) >= 1)
-      .select(F.col(idCol), F.size(F.col("ws")).as("nt"),
-        F.posexplode(F.col("ws")).as(Seq("i", "tok")))
-      .select(F.col(idCol), F.col("nt"), F.col("i"),
-        F.length(F.col("tok")).cast("long").as("l"),
-        F.regexp_count(F.col("tok"), F.lit("[A-Za-z]")).cast("long").as("a"))
-      .withColumn("wa", F.sum("a").over(w))
-      .withColumn("wl", F.sum("l").over(w))
-      .where(F.col("i") <= F.greatest(F.col("nt") - win, F.lit(0)))
-      .select(F.col(idCol), F.expr("(1000 * wa) div wl").as("q"))
-      .groupBy(idCol).agg(F.min("q").as("min_window_quality_pm"))
+    docs.select(F.col(idCol),
+        graft.functions.windowedMinQuality(F.col(textCol), win)
+          .as("min_window_quality_pm"))
+      .where(F.col("min_window_quality_pm").isNotNull)
   }
 }

@@ -17,17 +17,29 @@ import org.apache.spark.storage.StorageLevel
   * union-find at shuffle scale.
   *
   * Scale design:
-  *  - O(log n) rounds; every round is two shuffles on the node id — no
-  *    driver-side state, no collect. Works identically at 10^12 edges on a
-  *    1000-executor cluster; only `spark.sql.shuffle.partitions` changes.
+  *  - O(log n) rounds; every round is TWO shuffles on the node id (the
+  *    large-star window + the small-star groupBy — round 6 fused the
+  *    small star's dedup into its aggregation, dropping the per-round
+  *    distinct exchange) — no driver-side state, no collect. Works
+  *    identically at 10^12 edges on a 1000-executor cluster; only
+  *    `spark.sql.shuffle.partitions` changes.
   *  - `localCheckpoint` after every round truncates lineage, otherwise the
   *    iterative plan grows exponentially and the optimizer chokes.
-  *  - Convergence test = count + order-independent hash-sum of the edge
-  *    set (one cheap job per round), not DataFrame equality.
-  *  - Star-skew note: after a few rounds hot components collapse into
-  *    stars whose hub key is the component min; groupBy(min) partial
-  *    aggregation (map-side combine on `min`) absorbs the skew — no
-  *    salting needed because the aggregate is a pure `min`.
+  *  - Convergence test = count + order-independent xor fingerprint of the
+  *    round's oriented edge SET, computed from the small-star aggregation
+  *    itself (one cheap job per round), not DataFrame equality.
+  *  - Star-skew note (honest bound): BOTH star halves co-locate each
+  *    hub's incident rows in one task — the large-star unbounded window
+  *    buffers the hub's partition frame, and the small-star collect_set
+  *    holds the hub's distinct small-neighbor set. That is the canonical
+  *    MapReduce formulation's reduce-side bound (Kiveris et al. ship each
+  *    node's neighborhood to one reducer), not a regression vs it: a
+  *    mega-component's star round serializes its hub either way. A
+  *    groupBy+join-back alternative would co-locate identically for the
+  *    aggregation and could only shed the join-back via AQE skew-join
+  *    splitting — which never applies to the aggregation itself (AQE
+  *    splits joins, not aggregates/windows), so it buys one split join at
+  *    the price of a third full-volume exchange per round.
   */
 object ConnectedComponents {
 
@@ -65,37 +77,38 @@ object ConnectedComponents {
     // Driver-job economy: the initial signature probe is folded into the
     // first round (sentinel lastSig) — an already-converged input pays one
     // cheap round over its fixpoint edge set instead of a dedicated probe
-    // job. Convergence is checked EVERY round (checkEvery = 1): each
-    // check rides the round's own materialization job, so it costs no
-    // extra job — whereas batching rounds between checks (tried at 2 in
-    // this round's history) runs up to checkEvery extra FULL star rounds
-    // past the fixpoint, and at converged-star edge volumes those extra
-    // shuffles cost ~2× what the saved driver round-trips recover
-    // (measured: CC stage 4.4 s → 8.4 s at 60k docs with checkEvery=2).
-    // Every round gets its own lazy localCheckpoint — star rounds
-    // reference their input several times (self-union, join-back), and an
-    // un-checkpointed intermediate would recompute its shuffles once per
-    // reference; the checkpoint backs the round with one shared RDD.
-    val checkEvery = 1
+    // job; convergence is checked EVERY round, riding the round's own
+    // materialization job (batching rounds between checks was tried and
+    // measured worse — extra full star rounds past the fixpoint cost ~2×
+    // what the saved driver round-trips recover: CC stage 4.4 s → 8.4 s
+    // at 60k docs with checkEvery=2 in the round-5 history).
+    //
+    // Round 6 round shape: the lazy localCheckpoint sits on the GROUPED
+    // small-star frame (hub → distinct small-neighbor set), not on the
+    // exploded edge list. From that one materialized relation the round
+    // derives (a) its convergence signature — a per-hub
+    // xxhash64(u, sorted set) xor'd globally, an exact fingerprint of the
+    // round's oriented edge SET because hub rows are unique — and (b) the
+    // edge list the next large-star consumes (a narrow explode,
+    // recomputed from the checkpoint per reference, no shuffle). The
+    // signature compares the SET even though the exploded stream may
+    // carry cross-hub duplicate (v, m) rows — the per-round distinct
+    // exchange the old loop paid for exactly this soundness is gone, and
+    // both stars tolerate duplicate input rows (large-star windows over
+    // them; small-star's collect_set re-dedupes).
+    var curCp = cur // the frame holding the round's persist handle
     var lastSig: (Long, Long) = (-1L, -1L) // sentinel: never a real (count, xor)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val intermediates = Seq.newBuilder[DataFrame]
-      var next = cur
-      var s = 0
-      while (s < checkEvery) {
-        next = smallStar(largeStar(next)).localCheckpoint(false)
-        intermediates += next
-        s += 1
-      }
-      val sig = signature(next)
-      cur.unpersist(false)
-      intermediates.result().dropRight(1).foreach(_.unpersist(false))
-      cur = next
-      converged = sig == lastSig || sig._1 == 0L // unchanged batch, or no edges
+      val grouped = smallStarGrouped(largeStar(cur)).localCheckpoint(false)
+      val sig = signatureOfGrouped(grouped) // materializes the checkpoint
+      curCp.unpersist(false)
+      curCp = grouped
+      cur = emitEdges(grouped)
+      converged = sig == lastSig || sig._1 == 0L // unchanged set, or no edges
       lastSig = sig
-      iter += checkEvery
+      iter += 1
     }
     require(converged, s"connected components did not converge in $maxIterations rounds")
 
@@ -153,33 +166,48 @@ object ConnectedComponents {
     // by its distinct — saves one shuffle per round
   }
 
-  /** small-star: orient edges big->small; connect every neighbor (and u)
-    * to the minimum of the small neighborhood. Same window form as
-    * [[largeStar]]; the hub edge (u, m) is emitted once per input row via
-    * the two-element explode (single pass over the windowed rows — a
-    * union of two selects would plan the window subtree twice) and
-    * de-duplicated by the round's distinct. */
-  private def smallStar(edges: DataFrame): DataFrame = {
+  /** small-star, grouped form: orient edges big->small, aggregate each
+    * hub's DISTINCT small neighbors into one sorted set row
+    * (u, vs, m = vs[0], hx = xxhash64(u, vs)). One exchange, and the
+    * groupBy's map-side partial collect_set dedupes before the shuffle —
+    * the old window + explode + distinct form paid a second full exchange
+    * just to de-duplicate its output. Hub rows are unique by construction,
+    * which is what makes [[signatureOfGrouped]]'s xor sound. Large-star
+    * output is always oriented big->small already (m ≤ hub < emitted
+    * node), so the greatest/least projection is a no-op there — kept for
+    * arbitrary first-round inputs. */
+  private def smallStarGrouped(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
-    val or = edges.select(F.greatest($"u", $"v").as("u"), F.least($"u", $"v").as("v"))
-    or.withColumn("m", F.min($"v").over(w))
-      .select(F.explode(F.array(
-        F.struct($"v".as("u"), $"m".as("v")),
-        F.struct($"u".as("u"), $"m".as("v")))).as("e"))
-      .select($"e.u".as("u"), $"e.v".as("v"))
-      .where($"u" =!= $"v")
-      .distinct()
+    edges.select(F.greatest($"u", $"v").as("u"), F.least($"u", $"v").as("v"))
+      .groupBy($"u").agg(F.sort_array(F.collect_set($"v")).as("vs"))
+      .select($"u", $"vs", F.element_at($"vs", 1).as("m"),
+        F.xxhash64($"u", $"vs").as("hx"))
   }
 
-  /** Order-independent fingerprint of an edge set: (count, xor of row
-    * hashes) — xor, not sum, so ANSI overflow checking can't trip, and the
-    * edge set is distinct so xor-cancellation of repeats can't occur. */
-  private def signature(edges: DataFrame): (Long, Long) = {
-    val row = edges
-      .select(F.xxhash64(F.col("u"), F.col("v")).as("h"))
-      .agg(F.count(F.lit(1)).as("c"), F.coalesce(F.expr("bit_xor(h)"), F.lit(0L)).as("x"))
+  /** The small-star edges of a [[smallStarGrouped]] frame: every neighbor
+    * (and the hub) connects to the neighborhood min — (x, m) for
+    * x ∈ {u} ∪ vs, self-loops dropped. Narrow explode over the round's
+    * checkpoint; may carry cross-hub duplicate rows (two hubs emitting
+    * the same (v, m)) — tolerated by both stars, re-deduped by the next
+    * round's collect_set. */
+  private def emitEdges(grouped: DataFrame): DataFrame = {
+    val spark = grouped.sparkSession
+    import spark.implicits._
+    grouped.select(F.explode(F.concat(F.array($"u"), $"vs")).as("x"), $"m")
+      .where($"x" =!= $"m")
+      .select($"x".as("u"), $"m".as("v"))
+  }
+
+  /** Order-independent fingerprint of the round's oriented edge SET from
+    * its grouped form: (Σ|vs|, xor of per-hub xxhash64(u, sorted vs)).
+    * Exact because hub rows are unique and vs is a sorted set — xor
+    * cancellation of repeats cannot occur; one cheap codegen'd job that
+    * doubles as the checkpoint's materializing action. */
+  private def signatureOfGrouped(grouped: DataFrame): (Long, Long) = {
+    val row = grouped
+      .agg(F.coalesce(F.sum(F.size(F.col("vs"))), F.lit(0L)).cast("long").as("c"),
+        F.coalesce(F.expr("bit_xor(hx)"), F.lit(0L)).as("x"))
       .head()
     (row.getLong(0), row.getLong(1))
   }

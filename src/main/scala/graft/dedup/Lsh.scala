@@ -174,26 +174,42 @@ object Lsh {
   /** Attach signatures to pairs and score them. Output columns:
     * a, b, est_jaccard, sim_hamming, verified.
     *
-    * Join discipline (same as SubstringDedup's verification): semi-join
-    * reduce the fat signature table to pair members first — the minhash
-    * payload that crosses a shuffle is bounded by candidate-member count,
-    * not corpus size — then hash joins (sort-merge would sort a kilobyte
-    * of signature per row just to equality-match an id). */
+    * Stacked single-join form (round 6; guide §2.4 "remove shuffles
+    * outright"): each pair explodes into one row per endpoint keyed by
+    * the member doc_id, ONE hash join attaches the signature payload (the
+    * inner join IS the member reduction — non-member signatures drop at
+    * the join), and a (a, b) aggregation pivots the two endpoints back
+    * onto one scored row. The round-5 chain — member-id union, left_semi
+    * reduction, then two id-keyed hash joins — cost 7 exchanges and moved
+    * the signature table through a shuffle three times (once full for the
+    * semi, twice reduced); this costs 3 exchanges (stack, signature
+    * build, pivot) and shuffles the signature table once. The
+    * npresent = 2 filter reproduces the inner-join semantics exactly: a
+    * pair member absent from `sigs` drops the pair, a present member with
+    * null columns scores null, bit-for-bit like the old joins
+    * (parity-tested in LshSpec). Precondition (holds for every signature
+    * builder in the engine): `sigs` has at most one row per doc_id — the
+    * old join form would have multiplied scored rows on duplicate
+    * signature rows, this form drops such pairs. Signature side stays shuffle-hash
+    * hinted — sort-merge would sort a kilobyte of signature per row to
+    * equality-match an 8-byte id. */
   def verifyPairs(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
-    val p = graft.Caches.track(pairs) // consumed twice (member ids + join)
-    // no .distinct(): the left_semi join below dedupes its right side
-    // anyway, and the distinct would cost one more full exchange of the
-    // same id volume it saves — one less serial AQE stage per run
-    val memberIds = p.select(F.col("a").as("doc_id"))
-      .union(p.select(F.col("b").as("doc_id")))
-    val needed = sigs.join(memberIds, Seq("doc_id"), "left_semi")
-      .select("doc_id", "minhash", "simhash")
-    val sa = needed.select(F.col("doc_id").as("a"),
-      F.col("minhash").as("ma"), F.col("simhash").as("sa"))
-    val sb = needed.select(F.col("doc_id").as("b"),
-      F.col("minhash").as("mb"), F.col("simhash").as("sb"))
-    p.join(sa.hint("shuffle_hash"), "a")
-      .join(sb.hint("shuffle_hash"), "b")
+    val stacked = pairs.select(F.col("a"), F.col("b"),
+      F.explode(F.array(F.col("a"), F.col("b"))).as("doc_id"))
+    val joined = stacked.join(
+      sigs.select("doc_id", "minhash", "simhash").hint("shuffle_hash"),
+      Seq("doc_id"))
+    joined.groupBy("a", "b").agg(
+        F.count(F.lit(1)).as("npresent"),
+        F.first(F.when(F.col("doc_id") === F.col("a"), F.col("minhash")),
+          ignoreNulls = true).as("ma"),
+        F.first(F.when(F.col("doc_id") === F.col("a"), F.col("simhash")),
+          ignoreNulls = true).as("sa"),
+        F.first(F.when(F.col("doc_id") === F.col("b"), F.col("minhash")),
+          ignoreNulls = true).as("mb"),
+        F.first(F.when(F.col("doc_id") === F.col("b"), F.col("simhash")),
+          ignoreNulls = true).as("sb"))
+      .where(F.col("npresent") === 2)
       .withColumn("est_jaccard", estJaccard(F.col("ma"), F.col("mb")))
       .withColumn("sim_hamming", hammingDistance(F.col("sa"), F.col("sb")))
       .withColumn("verified", F.col("est_jaccard") >= cfg.tau)

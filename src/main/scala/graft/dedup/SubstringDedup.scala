@@ -75,31 +75,40 @@ object SubstringDedup {
       .withColumn("containment", F.col("shared").cast("double") / F.col("nfp_a"))
       .where(F.col("containment") >= cfg.containmentThreshold)
       .select("a", "b", "containment")
-    // consumed twice below (doc-reduction semi-join + the pair join):
-    // without the cache the winnow/window/agg subtree runs twice
-    val cand = graft.Caches.track(candRaw)
+    val cand = candRaw
 
     // exact verification: literal substring occurrence, folded with the
     // SAME ASCII-only A-Z→a-z fold the fingerprints sampled (F.lower is
     // full Unicode and can change string length — e.g. 'İ' — so the
     // verified predicate would not be the sampled one on non-ASCII text).
-    // Join discipline: (1) semi-join reduce the text table to candidate
-    // members only — the payload that crosses a shuffle is bounded by
-    // candidate count, not corpus size; (2) shuffle-hash joins —
-    // sort-merge would sort megabytes of text per row for a hash-equality
-    // lookup.
+    //
+    // Stacked single-join form (round 6; guide §2.4 — same melt as
+    // Lsh.verifyPairs): each candidate pair explodes into one row per
+    // endpoint keyed by doc_id, ONE shuffle-hash join attaches the folded
+    // text (the inner join IS the member reduction — non-candidate texts
+    // drop at the join; sort-merge would sort kilobytes of text per row
+    // for a hash-equality lookup), and an (a, b) aggregation pivots the
+    // two endpoints back onto one row. The round-5 chain — member-id
+    // union, left_semi reduction, two id-keyed text joins — cost 7
+    // exchanges and pushed the text payload through three shuffles; this
+    // costs 3 exchanges and ships each candidate text once. The
+    // npresent = 2 filter reproduces the double-inner-join semantics
+    // (reps is unique per doc_id by construction); the candidate frame is
+    // consumed once, so round 5's cand cache is gone too.
     val asciiFold = (c: org.apache.spark.sql.Column) =>
       F.translate(c, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
-    // no .distinct(): the left_semi join dedupes its right side anyway —
-    // the distinct would add one full exchange to save nothing
-    val candDocs = cand.select(F.col("a").as("doc_id"))
-      .union(cand.select(F.col("b").as("doc_id")))
-    val needed = reps.join(candDocs, Seq("doc_id"), "left_semi")
-      .select(F.col("doc_id"), asciiFold(F.col("text")).as("t"))
-    val ta = needed.select(F.col("doc_id").as("a"), F.col("t").as("text_a"))
-    val tb = needed.select(F.col("doc_id").as("b"), F.col("t").as("text_b"))
-    cand.join(ta.hint("shuffle_hash"), "a")
-      .join(tb.hint("shuffle_hash"), "b")
+    val stacked = cand.select(F.col("a"), F.col("b"), F.col("containment"),
+      F.explode(F.array(F.col("a"), F.col("b"))).as("doc_id"))
+    val folded = reps.select(F.col("doc_id"), asciiFold(F.col("text")).as("t"))
+    stacked.join(folded.hint("shuffle_hash"), Seq("doc_id"))
+      .groupBy("a", "b").agg(
+        F.max(F.col("containment")).as("containment"),
+        F.count(F.lit(1)).as("npresent"),
+        F.first(F.when(F.col("doc_id") === F.col("a"), F.col("t")),
+          ignoreNulls = true).as("text_a"),
+        F.first(F.when(F.col("doc_id") === F.col("b"), F.col("t")),
+          ignoreNulls = true).as("text_b"))
+      .where(F.col("npresent") === 2)
       .where(F.col("text_b").contains(F.col("text_a")))
       .select("a", "b", "containment")
   }

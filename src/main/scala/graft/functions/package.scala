@@ -39,15 +39,39 @@ package object functions {
                            seed: Long = HashUtil.DefaultSeed): Column =
     col(WinnowedFingerprints(expr(text), w, win, seed))
 
+  /** Winnowed md5-gram fingerprints — the SQL-replayable winnow layout,
+    * computed per row (no gram explode, no window shuffle). */
+  def md5WinnowedFingerprints(text: Column, w: Int, win: Int): Column =
+    col(Md5WinnowedFingerprints(expr(text), w, win))
+
+  /** Sliding-window minimum alpha-density permille, computed per row
+    * (no token explode, no window shuffle). Null iff no tokens. */
+  def windowedMinQuality(text: Column, win: Int): Column =
+    col(WindowedMinQuality(expr(text), win))
+
+  /** Σ a_i·b_i over float/double arrays (double) — codegen'd dot product. */
+  def doubleDot(a: Column, b: Column): Column = col(DoubleDot(expr(a), expr(b)))
+
+  /** Σ a_i·b_i over long arrays (long) — codegen'd integer dot product. */
+  def longDot(a: Column, b: Column): Column = col(LongDot(expr(a), expr(b)))
+
+  /** floor(x·10^6 + 0.5) per component — codegen'd micro-unit quantizer. */
+  def quantizedVec(emb: Column): Column = col(QuantizedVec(expr(emb)))
+
+  /** floor(x/nrm·10^6 + 0.5) per component — codegen'd quantized unit. */
+  def quantizedUnitVec(emb: Column, nrm: Column): Column =
+    col(QuantizedUnitVec(expr(emb), expr(nrm)))
+
+  /** Packed random-hyperplane sign bucket — codegen'd RHP-LSH bucket id. */
+  def rhpBucketOf(emb: Column, numPlanes: Int, rep: Int = 0): Column =
+    col(RhpBucket(expr(emb), numPlanes, rep))
+
   /** MinHash-estimated Jaccard similarity between two signature columns:
-    * fraction of equal components. Pure built-in higher-order functions —
-    * stays in whole-stage codegen. */
+    * fraction of equal components. Codegen'd primitive loop (the previous
+    * `aggregate(zip_with(...))` higher-order form is CodegenFallback —
+    * interpreted per pair; parity-tested in VectorExpressionsSpec). */
   def estJaccard(a: Column, b: Column): Column =
-    F.aggregate(
-      F.zip_with(a, b, (x, y) => F.when(x === y, 1).otherwise(0)),
-      F.lit(0),
-      (acc, v) => acc + v
-    ).cast("double") / F.size(a)
+    col(MinhashEstJaccard(expr(a), expr(b)))
 
   /** SimHash Hamming distance between two long fingerprint columns. */
   def hammingDistance(a: Column, b: Column): Column =

@@ -58,14 +58,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
-  test("window quality: ONE doc_id Exchange shared by window and min-agg; text+doc_id pruned scan") {
+  test("window quality: zero-Exchange per-row projection; text+doc_id pruned scan") {
     val p = plan(q("q_window_quality"))
-    // running-sum window and the groupBy(doc_id) min must reuse the same
-    // hash partitioning — a second Exchange would double the explode's
-    // shuffle volume (the dominant cost at corpus scale). Count the
-    // detail-section headers ("(n) Exchange"), one per physical node.
-    val exchanges = raw"\(\d+\) Exchange".r.findAllIn(p).length
-    assert(exchanges === 1, p)
+    // round 6: the sliding-window score is computed per row
+    // (WindowedMinQuality expression) — no token explode, no window
+    // shuffle, no re-aggregation. Any Exchange here is a regression to
+    // the exploded layout.
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("winnow fingerprints: zero-Exchange per-row projection") {
+    val p = plan(q("q_winnow_fingerprints"))
+    // round 6: per-row Md5WinnowedFingerprints + explode — the
+    // position-explode + windowed-min + distinct exchanges are gone
+    assert(!p.contains("Exchange"), p)
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 

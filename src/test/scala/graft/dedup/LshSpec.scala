@@ -83,6 +83,41 @@ class LshSpec extends SparkSpec {
     sigs.unpersist()
   }
 
+  test("verifyPairs stacked form matches the round-5 semi-join + two-join chain") {
+    val cfg = DedupConfig()
+    val sigs = sigsOf(800).cache()
+    val (pairs, _) = Lsh.candidatePairs(sigs, cfg)
+    val p = pairs.cache()
+    // the round-5 chain, reconstructed verbatim
+    val memberIds = p.select(F.col("a").as("doc_id"))
+      .union(p.select(F.col("b").as("doc_id")))
+    val needed = sigs.join(memberIds, Seq("doc_id"), "left_semi")
+      .select("doc_id", "minhash", "simhash")
+    val sa = needed.select(F.col("doc_id").as("a"),
+      F.col("minhash").as("ma"), F.col("simhash").as("sa"))
+    val sb = needed.select(F.col("doc_id").as("b"),
+      F.col("minhash").as("mb"), F.col("simhash").as("sb"))
+    val old = p.join(sa.hint("shuffle_hash"), "a")
+      .join(sb.hint("shuffle_hash"), "b")
+      .withColumn("est_jaccard", estJaccard(F.col("ma"), F.col("mb")))
+      .withColumn("sim_hamming", hammingDistance(F.col("sa"), F.col("sb")))
+      .withColumn("verified", F.col("est_jaccard") >= cfg.tau)
+      .select("a", "b", "est_jaccard", "sim_hamming", "verified")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getBoolean(4))).sorted.toSeq
+    val newRows = rows(Lsh.verifyPairs(p, sigs, cfg))
+    assert(newRows.nonEmpty)
+    assert(newRows === rows(old))
+    // a pair member absent from sigs drops the pair (inner-join semantics)
+    val spark2 = spark
+    import spark2.implicits._
+    val firstId = p.select("a").head().getLong(0)
+    val ghost = Seq((firstId, -999L)).toDF("a", "b")
+    assert(Lsh.verifyPairs(ghost, sigs, cfg).count() === 0)
+    p.unpersist(); sigs.unpersist()
+  }
+
   test("GraphX CC fallback agrees with the DataFrame loop") {
     val spark2 = spark
     import spark2.implicits._
