@@ -26,14 +26,16 @@ import org.apache.spark.sql.{functions => F}
 object NgramJaccard {
 
   /** Distinct word n-gram set of a text column (space tokenizer,
-    * empty-token safe; mirrors the DuckDB oracle exactly). */
-  def ngrams(text: Column, n: Int): Column = {
-    val ws = TextAnalysis.tokens(text)
-    F.when(F.size(ws) >= n,
-      F.array_distinct(F.transform(F.sequence(F.lit(0), F.size(ws) - n),
-        i => F.concat_ws(" ", (0 until n).map(j => F.element_at(ws, i + j + 1)): _*))))
-      .otherwise(F.array().cast("array<string>"))
-  }
+    * empty-token safe; mirrors the DuckDB oracle exactly). Round 6: one
+    * codegen'd pass (graft.functions.WordNgrams) — the old higher-order
+    * transform/concat_ws/array_distinct chain was CodegenFallback and
+    * cost 4.6-6.8 s alone on q_ngram_jaccard_pairs' single sf0.1 scan
+    * task (NgramProbe); identical output incl. first-occurrence order
+    * and the "null text → empty array" coalesce the `when` form had
+    * (parity-tested in TextWindowExpressionsSpec). */
+  def ngrams(text: Column, n: Int): Column =
+    F.coalesce(graft.functions.wordNgrams(text, n),
+      F.array().cast("array<string>"))
 
   private def prepared(docs: DataFrame, blockCol: String, n: Int): DataFrame =
     docs.select(F.col("doc_id"), F.col(blockCol).as("blk"),

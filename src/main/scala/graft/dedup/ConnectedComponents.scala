@@ -25,9 +25,10 @@ import org.apache.spark.storage.StorageLevel
   *    `spark.sql.shuffle.partitions` changes.
   *  - `localCheckpoint` after every round truncates lineage, otherwise the
   *    iterative plan grows exponentially and the optimizer chokes.
-  *  - Convergence test = count + order-independent xor fingerprint of the
-  *    round's oriented edge SET, computed from the small-star aggregation
-  *    itself (one cheap job per round), not DataFrame equality.
+  *  - Convergence test = count + order-independent decimal-sum multiset
+  *    fingerprint of the round's emitted edges (one cheap job per round
+  *    that doubles as the round's materializing action), not DataFrame
+  *    equality.
   *  - Star-skew note (honest bound): BOTH star halves co-locate each
   *    hub's incident rows in one task — the large-star unbounded window
   *    buffers the hub's partition frame, and the small-star collect_set
@@ -85,28 +86,41 @@ object ConnectedComponents {
     //
     // Round 6 round shape: the lazy localCheckpoint sits on the GROUPED
     // small-star frame (hub → distinct small-neighbor set), not on the
-    // exploded edge list. From that one materialized relation the round
-    // derives (a) its convergence signature — a per-hub
-    // xxhash64(u, sorted set) xor'd globally, an exact fingerprint of the
-    // round's oriented edge SET because hub rows are unique — and (b) the
-    // edge list the next large-star consumes (a narrow explode,
-    // recomputed from the checkpoint per reference, no shuffle). The
-    // signature compares the SET even though the exploded stream may
-    // carry cross-hub duplicate (v, m) rows — the per-round distinct
-    // exchange the old loop paid for exactly this soundness is gone, and
-    // both stars tolerate duplicate input rows (large-star windows over
-    // them; small-star's collect_set re-dedupes).
+    // exploded edge list; the edge list the next large-star consumes is a
+    // narrow explode over it (recomputed from the checkpoint per
+    // reference, no shuffle). The exploded stream may carry cross-hub
+    // duplicate (v, m) rows — the per-round distinct exchange the old
+    // loop paid to remove them is gone, and both stars tolerate duplicate
+    // input rows (large-star windows over them; small-star's collect_set
+    // re-dedupes map-side).
+    //
+    // Convergence signature: (count, Σ xxhash64(u,v) as DECIMAL(38,0))
+    // over the round's EMITTED edge stream — a MULTISET fingerprint
+    // (decimal sum: exact, order-independent, and immune to the ANSI
+    // overflow that a wrapping BIGINT sum would throw; xor was the old
+    // choice only because the stream was then distinct). Fingerprinting
+    // the round OUTPUT keeps the detection round count identical to the
+    // round-5 loop (a fixpoint is still detected one round after it is
+    // reached): at the star fixpoint the emitted stream has no duplicates
+    // — every child is one hub with a single-element set, and no root has
+    // an outgoing edge — so multiset equality coincides with the old set
+    // equality exactly when it matters. (An earlier draft fingerprinted
+    // the grouped LARGE-STAR output instead; that detects the same
+    // fixpoint one round later — measured as a full extra round on
+    // q_cc_chain.) The signature aggregation is the action that
+    // materializes the round's checkpoint, so a round still costs ONE
+    // Spark job.
     var curCp = cur // the frame holding the round's persist handle
-    var lastSig: (Long, Long) = (-1L, -1L) // sentinel: never a real (count, xor)
+    var lastSig: (Long, java.math.BigDecimal) = (-1L, null) // sentinel
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
       val grouped = smallStarGrouped(largeStar(cur)).localCheckpoint(false)
-      val sig = signatureOfGrouped(grouped) // materializes the checkpoint
+      cur = emitEdges(grouped)
+      val sig = signatureOfEdges(cur) // materializes the checkpoint
       curCp.unpersist(false)
       curCp = grouped
-      cur = emitEdges(grouped)
-      converged = sig == lastSig || sig._1 == 0L // unchanged set, or no edges
+      converged = sig == lastSig || sig._1 == 0L // unchanged multiset, or no edges
       lastSig = sig
       iter += 1
     }
@@ -167,22 +181,20 @@ object ConnectedComponents {
   }
 
   /** small-star, grouped form: orient edges big->small, aggregate each
-    * hub's DISTINCT small neighbors into one sorted set row
-    * (u, vs, m = vs[0], hx = xxhash64(u, vs)). One exchange, and the
-    * groupBy's map-side partial collect_set dedupes before the shuffle —
-    * the old window + explode + distinct form paid a second full exchange
-    * just to de-duplicate its output. Hub rows are unique by construction,
-    * which is what makes [[signatureOfGrouped]]'s xor sound. Large-star
-    * output is always oriented big->small already (m ≤ hub < emitted
-    * node), so the greatest/least projection is a no-op there — kept for
-    * arbitrary first-round inputs. */
+    * hub's DISTINCT small neighbors into one set row
+    * (u, vs, m = min(vs)). One exchange, and the groupBy's map-side
+    * partial collect_set dedupes before the shuffle — the old window +
+    * explode + distinct form paid a second full exchange just to
+    * de-duplicate its output. Large-star output is always oriented
+    * big->small already (m ≤ hub < emitted node), so the greatest/least
+    * projection is a no-op there — kept for arbitrary first-round
+    * inputs. */
   private def smallStarGrouped(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     edges.select(F.greatest($"u", $"v").as("u"), F.least($"u", $"v").as("v"))
-      .groupBy($"u").agg(F.sort_array(F.collect_set($"v")).as("vs"))
-      .select($"u", $"vs", F.element_at($"vs", 1).as("m"),
-        F.xxhash64($"u", $"vs").as("hx"))
+      .groupBy($"u").agg(F.collect_set($"v").as("vs"))
+      .select($"u", $"vs", F.array_min($"vs").as("m"))
   }
 
   /** The small-star edges of a [[smallStarGrouped]] frame: every neighbor
@@ -199,16 +211,18 @@ object ConnectedComponents {
       .select($"x".as("u"), $"m".as("v"))
   }
 
-  /** Order-independent fingerprint of the round's oriented edge SET from
-    * its grouped form: (Σ|vs|, xor of per-hub xxhash64(u, sorted vs)).
-    * Exact because hub rows are unique and vs is a sorted set — xor
-    * cancellation of repeats cannot occur; one cheap codegen'd job that
-    * doubles as the checkpoint's materializing action. */
-  private def signatureOfGrouped(grouped: DataFrame): (Long, Long) = {
-    val row = grouped
-      .agg(F.coalesce(F.sum(F.size(F.col("vs"))), F.lit(0L)).cast("long").as("c"),
-        F.coalesce(F.expr("bit_xor(hx)"), F.lit(0L)).as("x"))
+  /** Order-independent MULTISET fingerprint of an edge stream:
+    * (count, Σ xxhash64(u, v) as DECIMAL(38,0)) — the decimal sum cannot
+    * overflow below ~5·10^18 rows and is exempt from ANSI integral
+    * overflow checking; duplicates shift the sum instead of cancelling
+    * the way xor pairs would. One cheap codegen'd job that doubles as the
+    * round checkpoint's materializing action. */
+  private def signatureOfEdges(edges: DataFrame): (Long, java.math.BigDecimal) = {
+    val zero = F.lit(0).cast("decimal(38,0)")
+    val row = edges
+      .select(F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)").as("h"))
+      .agg(F.count(F.lit(1)).as("c"), F.coalesce(F.sum(F.col("h")), zero).as("s"))
       .head()
-    (row.getLong(0), row.getLong(1))
+    (row.getLong(0), row.getDecimal(1))
   }
 }

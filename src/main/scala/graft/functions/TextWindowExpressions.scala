@@ -105,6 +105,82 @@ object WindowedMinQuality {
   }
 }
 
+/** Distinct word n-grams of a text column (`array<string>`, first-
+  * occurrence order) — the codegen twin of
+  * `array_distinct(transform(sequence(0, size(ws)-n), i ->
+  *    concat_ws(" ", ws[i+1] ... ws[i+n])))`
+  * over space-split non-empty tokens. The higher-order chain is
+  * CodegenFallback: every gram walked an interpreted
+  * transform/element_at/concat_ws/array_distinct tree — measured 4.6-6.8 s
+  * for 250k grams on the single scan task q_ngram_jaccard_pairs reads
+  * (NgramProbe, sf0.1); this is one pass with a dedup set. Fewer than n
+  * tokens yields an empty array; null propagates (callers that need the
+  * old "null text → empty array" coalesce at the column level —
+  * see NgramJaccard.ngrams). */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n-gram n must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    evalNonNull(input.asInstanceOf[UTF8String])
+
+  def evalNonNull(text: UTF8String): ArrayData =
+    WordNgrams.compute(text.toString, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordNgrams", this, classOf[WordNgrams].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalNonNull($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+  def compute(text: String, n: Int): ArrayData = {
+    // tokens = maximal runs between ' ' separators, empties dropped
+    // (mirrors filter(split(text, " "), _ != ""))
+    val tokens = new java.util.ArrayList[String]()
+    val len = text.length
+    var i = 0
+    while (i < len) {
+      while (i < len && text.charAt(i) == ' ') i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && text.charAt(i) != ' ') i += 1
+        tokens.add(text.substring(start, i))
+      }
+    }
+    val nt = tokens.size()
+    if (nt < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    // first-occurrence order, exactly array_distinct's
+    val seen = new java.util.LinkedHashSet[String](math.max(16, nt * 2))
+    val sb = new java.lang.StringBuilder(64)
+    var g = 0
+    while (g <= nt - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens.get(g + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      g += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Winnowed md5-gram fingerprints — the per-row form of the
   * q_winnow_fingerprints layout: gram hash at position i = value of the
   * first 15 hex digits of md5(utf8(substring(text, i, w))), fingerprints =

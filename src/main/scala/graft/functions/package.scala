@@ -49,6 +49,11 @@ package object functions {
   def windowedMinQuality(text: Column, win: Int): Column =
     col(WindowedMinQuality(expr(text), win))
 
+  /** Distinct word n-grams (first-occurrence order), codegen'd single
+    * pass. Null text propagates null. */
+  def wordNgrams(text: Column, n: Int): Column =
+    col(WordNgrams(expr(text), n))
+
   /** Σ a_i·b_i over float/double arrays (double) — codegen'd dot product. */
   def doubleDot(a: Column, b: Column): Column = col(DoubleDot(expr(a), expr(b)))
 

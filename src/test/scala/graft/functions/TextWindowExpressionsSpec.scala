@@ -92,6 +92,28 @@ class TextWindowExpressionsSpec extends SparkSpec {
     assert(asSet(newForm) == asSet(oldForm))
   }
 
+  test("ngrams (WordNgrams) matches the HOF transform/array_distinct form") {
+    // the round-5 form, verbatim (incl. its null-text -> empty coalesce)
+    def hofNgrams(text: org.apache.spark.sql.Column, n: Int) = {
+      val ws = F.filter(F.split(text, " "), t => t =!= "")
+      F.when(F.size(ws) >= n,
+        F.array_distinct(F.transform(F.sequence(F.lit(0), F.size(ws) - n),
+          i => F.concat_ws(" ", (0 until n).map(j => F.element_at(ws, i + j + 1)): _*))))
+        .otherwise(F.array().cast("array<string>"))
+    }
+    import spark.implicits._
+    val withNull = docs.unionByName(
+      Seq((2000000L, Option.empty[String])).toDF("doc_id", "text"))
+    for (n <- Seq(3, 1, 5)) {
+      val cmp = withNull.select(
+        graft.analysis.NgramJaccard.ngrams(F.col("text"), n).as("a"),
+        hofNgrams(F.col("text"), n).as("b"))
+      cmp.collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n")
+      }
+    }
+  }
+
   test("md5WinnowedFingerprints matches at degenerate sizes (w=2, win=1)") {
     val newForm = docs.select(F.col("doc_id"),
       F.explode(md5WinnowedFingerprints(F.col("text"), 2, 1)).as("fp"))
