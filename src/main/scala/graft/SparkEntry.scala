@@ -226,9 +226,13 @@ object SparkEntry {
       // is sound. Planted copies guarantee positives.
       val cfg = DedupConfig(shingleK = 3, tau = 0.5)
       val all = docsWithCopies(s, dir)
-      // tracked cache: the auto strategy's size probe, pair generation
-      // and the verify joins each consume the signature expressions
-      val sigs = graft.Caches.track(all.select(F.col("doc_id"),
+      // lineage-truncating checkpoint (round 6; was a columnar persist):
+      // pair generation (counts + join sides) and the verify join each
+      // consume the signature expressions, but the payload is a 128-long
+      // minhash array per row — columnar cache encoding of array<long>
+      // costs more than one signature recompute; the checkpoint writes
+      // UnsafeRows once and every consumer scans it
+      val sigs = graft.Caches.truncate(all.select(F.col("doc_id"),
         minhash(shingles(F.col("text"), cfg.shingleK, cfg.seed), cfg.numHashes, cfg.seed).as("minhash"),
         simhash(shingles(F.col("text"), cfg.shingleK, cfg.seed), cfg.seed).as("simhash")))
       val (pairs, _) = Lsh.candidatePairs(sigs, cfg)

@@ -69,8 +69,12 @@ object NgramJaccard {
     * operator scores CALLER-BOUNDED blocks; corpus-scale candidate
     * generation is the LSH pipeline's job). */
   def indexed(docs: DataFrame, blockCol: String, n: Int): DataFrame = {
-    // consumed twice (postings + sizes); released via graft.Caches
-    val d = graft.Caches.track(prepared(docs, blockCol, n))
+    // consumed twice (postings + sizes); lineage-truncating checkpoint,
+    // not a columnar persist (round 6) — the payload is gram STRING
+    // arrays, the most expensive column shape the columnar cache can
+    // encode; the checkpoint writes UnsafeRows once (memcpy) and both
+    // consumers scan it
+    val d = graft.Caches.truncate(prepared(docs, blockCol, n))
     val postings = d.select(F.col("blk"), F.col("doc_id"), F.explode(F.col("g")).as("t"))
     val shared = postings.groupBy("blk", "t")
       .agg(F.collect_list(F.col("doc_id")).as("ids"))

@@ -333,7 +333,10 @@ object DedupPipeline {
   def dupEdges(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     val spark = sigs.sparkSession
     import spark.implicits._
-    val sigCols = graft.Caches.track(sigs.select("doc_id", "minhash", "simhash"))
+    // lineage-truncating checkpoint, not a columnar persist: the payload
+    // is the 128-long minhash array per row — columnar encode costs more
+    // than a signature recompute (see the q_minhash entry in SparkEntry)
+    val sigCols = graft.Caches.truncate(sigs.select("doc_id", "minhash", "simhash"))
     val (pairs, _) = Lsh.candidatePairs(sigCols, cfg)
     val verified = Lsh.verifyPairs(pairs, sigCols, cfg)
       .where($"verified").select($"a", $"b")

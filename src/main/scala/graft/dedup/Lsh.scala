@@ -31,12 +31,15 @@ import graft.functions._
 object Lsh {
 
   /** Array of `bands` bucket keys for a minhash signature column:
-    * bucket_i = xxhash64(i, minhash[i*r .. i*r+r)). Built-in higher-order
-    * functions only — stays in codegen. */
+    * bucket_i = xxhash64(i, minhash[i*r .. i*r+r)). Round 6: a codegen'd
+    * kernel (graft.functions.BandBuckets) — the previous
+    * `transform(sequence, xxhash64(slice))` chain was CodegenFallback
+    * (array HOFs interpret their lambda per element) and allocated one
+    * slice array per band per row on the engine's hottest explode;
+    * bucket values are bit-identical (Spark's own XXH64 fold, parity
+    * spec in SignatureExpressionsSpec). */
   def bandBuckets(minhashCol: Column, bands: Int, rowsPerBand: Int): Column =
-    F.transform(
-      F.sequence(F.lit(0), F.lit(bands - 1)),
-      b => F.xxhash64(b, F.slice(minhashCol, b * rowsPerBand + 1, F.lit(rowsPerBand))))
+    graft.functions.bandBuckets(minhashCol, bands, rowsPerBand)
 
   /** (doc_id, bucket) — one row per band per doc. The band index is
     * already folded into the 64-bit bucket key (xxhash64(band, slice)),
@@ -80,27 +83,43 @@ object Lsh {
     cfg.hotBucketStrategy match {
       case "salted" => candidatePairsSalted(sigs, cfg)
       case "window" => candidatePairsWindow(sigs, cfg)
-      case _ => // auto
-        val spark = sigs.sparkSession
-        import spark.implicits._
-        // ONE map-side-combined pass yields the probe scalar AND the
-        // overflow stats — auto-calm pays the same two exploded passes
-        // as the forced window strategy (counts + window), just eagerly
-        val stats = explodeBuckets(sigs, cfg)
-          .groupBy("bucket").count()
+      case _ => // auto (round 6): counts → eligibility join, the universal form
+        // The pre-round-6 auto ran an EAGER probe pass (groupBy counts →
+        // head()) just to choose between window and salted — a driver-
+        // blocking job on the serial floor of every pipeline run — and
+        // then paid the chosen strategy's own full pass. This form needs
+        // no choice: bucket sizes aggregate map-side-combine-safely at
+        // ANY skew (a hot bucket costs one counter per map task), the
+        // eligibility filter (2 ≤ n ≤ cap) excludes hot buckets BEFORE
+        // the only shuffle that co-locates one, and the member join is
+        // left to AQE — the eligible-bucket table is tiny on calm
+        // corpora (dup buckets only), so it broadcasts at runtime and
+        // the exploded table never crosses a full exchange at all; on a
+        // dup-heavy corpus AQE keeps a shuffle join, which is exactly
+        // the salted form's shape minus its redundant salt level (the
+        // salt guarded the SIZE aggregation, but partial aggregation
+        // already bounds a hot bucket's reduce-side rows to one per map
+        // task). No window sort anywhere. Output pairs and overflow
+        // stats are bit-identical to both forced strategies (LshSpec
+        // parity, calm + planted-mega-bucket), and the overflow frame is
+        // now LAZY: callers that discard it (q_minhash_lsh_dedup) never
+        // pay its pass.
+        val exploded = explodeBuckets(sigs, cfg)
+        val counts = exploded.groupBy("bucket").count()
+        val overflow = counts.where(F.col("count") > cfg.maxBucketSize)
           .agg(
-            F.coalesce(F.max("count"), F.lit(0L)),
-            F.coalesce(F.sum(F.when(F.col("count") > cfg.maxBucketSize, 1L)
-              .otherwise(0L)), F.lit(0L)),
-            F.coalesce(F.sum(F.when(F.col("count") > cfg.maxBucketSize,
-              F.col("count")).otherwise(0L)), F.lit(0L)))
-          .head()
-        val overflow = Seq((stats.getLong(1), stats.getLong(2)))
-          .toDF("overflow_buckets", "overflow_rows")
-        val pairs =
-          if (stats.getLong(0) <= 4L * cfg.maxBucketSize)
-            windowPairs(sigs, cfg)
-          else candidatePairsSalted(sigs, cfg)._1
+            F.coalesce(F.count(F.lit(1)), F.lit(0L)).as("overflow_buckets"),
+            F.coalesce(F.sum("count"), F.lit(0L)).as("overflow_rows"))
+        val eligible = counts.where(F.col("count").between(2, cfg.maxBucketSize))
+          .select("bucket")
+        val members = exploded.join(eligible, Seq("bucket"))
+        val buckets = members.groupBy("bucket")
+          .agg(F.collect_list(F.col("doc_id")).as("ids")) // bounded by maxBucketSize
+        val pairs = buckets
+          .select(F.explode(F.col("ids")).as("a"), F.col("ids"))
+          .select(F.col("a"), F.explode(F.col("ids")).as("b"))
+          .where(F.col("a") < F.col("b"))
+          .distinct()
         (pairs, overflow)
     }
 

@@ -51,10 +51,13 @@ object SubstringDedup {
       .groupBy("th").agg(F.min(F.col("doc_id")).as("doc_id"))
       .select("doc_id")) // ids only; consumed by both reps uses below
     val reps = docs.join(repIds, Seq("doc_id"), "left_semi")
-    // tracked cache: the auto strategy's eager size probe below would
-    // otherwise re-run the winnowing expression — the most expensive
-    // compute in this pass — once more over the full rep set
-    val eligible = graft.Caches.track(reps
+    // lineage-truncating checkpoint, not a columnar persist (round 6):
+    // the frame is consumed twice (the posting-size counts and the
+    // eligibility join's probe side), but its payload is fp ARRAYS —
+    // columnar cache encoding of array<long> columns measured ~2.5× the
+    // winnow recompute itself at 100k docs; the checkpoint writes
+    // UnsafeRows (memcpy) once and both consumers scan it
+    val eligible = graft.Caches.truncate(reps
       .where(F.length(F.col("text")) >= cfg.minSubstringChars)
       .select(F.col("doc_id"),
         winnowedFingerprints(F.col("text"), cfg.winnowW, cfg.winnowWin, cfg.seed).as("fp"),
@@ -154,10 +157,22 @@ object SubstringDedup {
     cfg.hotBucketStrategy match {
       case "window" => windowForm
       case "salted" => saltedForm
-      case _ => // auto: one map-side-combined probe of the real skew
-        val maxPn = postings.groupBy("f").count()
-          .agg(F.coalesce(F.max("count"), F.lit(0L))).head().getLong(0)
-        if (maxPn <= 4L * cfg.maxFingerprintPostings) windowForm else saltedForm
+      case _ => // auto (round 6): counts → eligibility join, the universal form
+        // Replaces the eager max-posting probe (a full explode+aggregate
+        // pass, driver-blocking, whose only output was the window-vs-
+        // salted choice) + the chosen strategy's own pass. Posting sizes
+        // aggregate map-side-combine-safely at any skew; the 2..cap
+        // filter drops hot fingerprints (and the singleton majority)
+        // BEFORE any shuffle co-locates them; AQE broadcasts the
+        // eligible set when it is small (the common case — only
+        // fingerprints shared by 2..cap docs survive), so the wide
+        // posting rows skip the full exchange + window sort the window
+        // form paid. Output-identical to both forced strategies
+        // (SubstringDedupSpec parity, calm + hot corpora).
+        val counts = postings.groupBy("f").count()
+        val ok = counts.where(F.col("count")
+          .between(2, cfg.maxFingerprintPostings)).select("f")
+        collectMembers(postings.join(ok, Seq("f")))
     }
   }
 }

@@ -193,22 +193,55 @@ case class SimHash64(child: Expression, seed: Long)
   def isEmpty(arr: ArrayData): Boolean = arr.numElements() == 0
 
   def evalNonEmpty(arr: ArrayData): Long = {
+    // Bit-sliced vote count (round 6, guide §1.2-2 per-task work): the
+    // ±1 vote sum per bit is votes(b) = 2·ones(b) − m, so only the
+    // per-bit-position ones counts are needed. Instead of a 64-iteration
+    // shift/mask loop per shingle (≈256 ops/element), each hash word is
+    // ripple-carry-added into a transposed 8-bit counter — planes(k) bit
+    // b holds bit k of the running count for bit position b — at ~2–4
+    // ops/element amortized, flushed into ones(·) every 255 words before
+    // the counters can overflow. Output is bit-identical to the old
+    // voting loop (SimHashKernelSpec proves it against the reference
+    // form over real-corpus shingle arrays).
     val m = arr.numElements()
-    val votes = new Array[Int](64)
+    val ones = new Array[Int](64)
+    val planes = new Array[Long](8)
+    var inBlock = 0
     var j = 0
     while (j < m) {
-      var s = mix64(arr.getLong(j) ^ seed)
-      var b = 0
-      while (b < 64) {
-        if ((s & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        s >>>= 1
-        b += 1
+      var carry = mix64(arr.getLong(j) ^ seed)
+      var k = 0
+      while (carry != 0L && k < 8) {
+        val t = planes(k) & carry
+        planes(k) ^= carry
+        carry = t
+        k += 1
+      }
+      inBlock += 1
+      if (inBlock == 255) { // flush before the 8-bit counters overflow
+        var b = 0
+        while (b < 64) {
+          var c = 0
+          var p = 0
+          while (p < 8) { c |= (((planes(p) >>> b) & 1L).toInt) << p; p += 1 }
+          ones(b) += c
+          b += 1
+        }
+        java.util.Arrays.fill(planes, 0L)
+        inBlock = 0
       }
       j += 1
     }
     var out = 0L
     var b = 0
-    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    while (b < 64) {
+      var c = ones(b)
+      var p = 0
+      while (p < 8) { c += (((planes(p) >>> b) & 1L).toInt) << p; p += 1 }
+      // votes(b) = 2·c − m > 0  ⟺  bit set (ties clear, as before)
+      if (2 * c > m) out |= (1L << b)
+      b += 1
+    }
     out
   }
 
@@ -337,6 +370,64 @@ object Md5NgramSimHash {
     while (b < bits) { if (2 * ones(b) > m) out |= (1L << b); b += 1 }
     java.lang.Long.valueOf(out)
   }
+}
+
+/** MinHash signature → LSH band bucket keys (`array<long>`, length
+  * `bands`): bucket_b = xxhash64(b, signature[b·r .. b·r+r)) — bit-for-bit
+  * the `transform(sequence(0, bands-1), b -> xxhash64(b, slice(...)))`
+  * chain it replaces (round 6, guide §1.2-2): Spark's array higher-order
+  * functions are CodegenFallback, so the old chain walked an interpreted
+  * expression tree and allocated a fresh slice array per band per row —
+  * on the hottest explode in the engine. This kernel calls Spark's own
+  * XXH64 fold (hashInt for the band index, then hashLong per slice
+  * element, seed 42 — exactly `F.xxhash64`'s semantics, including
+  * skipping null elements and folding short tails) in a tight loop from
+  * whole-stage codegen. Parity-spec'd against the HOF chain over real
+  * signatures (SignatureExpressionsSpec).
+  */
+case class BandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  require(bands >= 1 && rowsPerBand >= 1,
+    s"need bands>=1, rowsPerBand>=1; got $bands, $rowsPerBand")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects ARRAY<BIGINT>, got ${t.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    evalNonNull(input.asInstanceOf[ArrayData])
+
+  def evalNonNull(arr: ArrayData): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = arr.numElements()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XXH64.hashInt(b, 42L)
+      var j = b * rowsPerBand
+      val end = math.min(j + rowsPerBand, n)
+      while (j < end) {
+        if (!arr.isNullAt(j)) h = XXH64.hashLong(arr.getLong(j), h)
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bandBuckets", this, classOf[BandBuckets].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalNonNull($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BandBuckets =
+    copy(child = newChild)
 }
 
 /** Text → winnowed rolling-hash fingerprints (`array<long>`, sorted

@@ -27,6 +27,11 @@ package object functions {
   def simhash(shingleHashes: Column, seed: Long = HashUtil.DefaultSeed): Column =
     col(SimHash64(expr(shingleHashes), seed))
 
+  /** LSH band bucket keys (length `bands`) of a minhash signature column —
+    * bucket_b = xxhash64(b, sig[b·r .. b·r+r)), codegen'd. */
+  def bandBuckets(minhash: Column, bands: Int, rowsPerBand: Int): Column =
+    col(BandBuckets(expr(minhash), bands, rowsPerBand))
+
   /** SimHash over md5-hashed distinct word n-grams (low `bits` bits of a
     * long) — the SQL-replayable signature family (md5 replays in any
     * engine; the production [[simhash]] uses the FNV/mix64 chain). One

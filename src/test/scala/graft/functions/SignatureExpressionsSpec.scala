@@ -172,4 +172,90 @@ class SignatureExpressionsSpec extends SparkSpec {
     assert(f === s)
     assert(f.keySet === Set(1L, 2L, 5L, 6L)) // 3 (short) and 4 (empty) drop out
   }
+
+  test("bandBuckets kernel: bit parity with the transform/xxhash64/slice chain") {
+    // Reference form: the pre-round-6 higher-order-function chain the
+    // codegen kernel replaces — including short signatures (tail slices),
+    // empty arrays, and arrays that are not a multiple of rowsPerBand.
+    val spark0 = spark
+    import spark0.implicits._
+    val sigs = Seq(
+      Array.tabulate(128)(i => i * 0x9E3779B97F4A7C15L),
+      Array.tabulate(7)(i => -i * 31L),
+      Array.empty[Long],
+      Array.tabulate(128)(_ => Long.MinValue),
+      Array.tabulate(130)(i => i.toLong)
+    ).toDF("sig")
+    for ((bands, r) <- Seq((32, 4), (8, 16), (5, 3))) {
+      val ref = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        b => F.xxhash64(b, F.slice(F.col("sig"), b * r + 1, F.lit(r))))
+      val got = sigs.select(
+        bandBuckets(F.col("sig"), bands, r).as("k"), ref.as("h"))
+        .collect()
+      got.foreach { row =>
+        assert(row.getSeq[Long](0) === row.getSeq[Long](1), s"bands=$bands r=$r")
+      }
+    }
+    // real-signature sweep
+    val real = graft.io.SyntheticCorpus.pages(spark, 2000L)
+      .select(minhash(shingles(F.col("text"), 9), 128).as("sig"))
+      .where(F.col("sig").isNotNull)
+    val refReal = F.transform(
+      F.sequence(F.lit(0), F.lit(31)),
+      b => F.xxhash64(b, F.slice(F.col("sig"), b * 4 + 1, F.lit(4))))
+    val mismatch = real.select(bandBuckets(F.col("sig"), 32, 4).as("k"), refReal.as("h"))
+      .where(F.col("k") =!= F.col("h")).count()
+    assert(mismatch === 0)
+  }
+
+  test("simhash64: bit-sliced counter parity with the reference voting loop") {
+    // Reference form: the pre-round-6 per-bit ±1 voting loop. The
+    // production kernel now ripple-carry-adds each hash into transposed
+    // 8-bit counters (flushed every 255 words); outputs must be
+    // bit-identical, including at the 255/256-word flush boundaries and
+    // on vote ties (tie -> bit clear).
+    def referenceSimhash(hashes: Array[Long], seed: Long): Long = {
+      val votes = new Array[Int](64)
+      for (x <- hashes) {
+        var s = HashUtil.mix64(x ^ seed)
+        var b = 0
+        while (b < 64) {
+          if ((s & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          s >>>= 1; b += 1
+        }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+    val expr = SimHash64(org.apache.spark.sql.graftshim.GraftSqlShim
+      .expression(F.lit(1)), DefaultSeed)
+    var s = 42L
+    // sizes straddle the flush boundary (255) and its multiples; plus a
+    // degenerate all-identical array whose every bit is a tie-or-win edge
+    for (m <- Seq(1, 2, 254, 255, 256, 509, 510, 511, 1000, 4096)) {
+      val hashes = Array.tabulate(m) { _ =>
+        s = HashUtil.mix64(s + 0x9E3779B97F4A7C15L); s
+      }
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(hashes)
+      assert(expr.evalNonEmpty(arr) === referenceSimhash(hashes, DefaultSeed), s"m=$m")
+      val const = Array.fill(m)(0xDEADBEEFL)
+      val carr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(const)
+      assert(expr.evalNonEmpty(carr) === referenceSimhash(const, DefaultSeed), s"const m=$m")
+    }
+    // real-corpus sweep: every shingle array of a 2k-doc synthetic slice
+    val spark0 = spark
+    import spark0.implicits._
+    val texts = graft.io.SyntheticCorpus.pages(spark, 2000L)
+      .select("text").as[String].collect()
+    for (t <- texts) {
+      val hs = ShingleHashes.compute(t, 9, DefaultSeed)
+      if (hs.nonEmpty) {
+        val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(hs)
+        assert(expr.evalNonEmpty(arr) === referenceSimhash(hs, DefaultSeed))
+      }
+    }
+  }
 }
