@@ -215,8 +215,14 @@ object Lsh {
   def verifyPairs(pairs: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     val stacked = pairs.select(F.col("a"), F.col("b"),
       F.explode(F.array(F.col("a"), F.col("b"))).as("doc_id"))
-    val joined = stacked.join(
-      sigs.select("doc_id", "minhash", "simhash").hint("shuffle_hash"),
+    // build side = the STACKED pair frame (2 narrow rows per candidate
+    // pair), not the signature table: the round-6.0 form hinted the
+    // signature side, building a hash table of kilobyte signature rows
+    // per task while streaming the tiny pair frame past it — backwards.
+    // Signature rows now stream and probe the small build table (round
+    // 6; guide §3.2 "hash-join build side = the smaller input").
+    val joined = stacked.hint("shuffle_hash").join(
+      sigs.select("doc_id", "minhash", "simhash"),
       Seq("doc_id"))
     joined.groupBy("a", "b").agg(
         F.count(F.lit(1)).as("npresent"),

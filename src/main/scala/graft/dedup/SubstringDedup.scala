@@ -103,7 +103,11 @@ object SubstringDedup {
     val stacked = cand.select(F.col("a"), F.col("b"), F.col("containment"),
       F.explode(F.array(F.col("a"), F.col("b"))).as("doc_id"))
     val folded = reps.select(F.col("doc_id"), asciiFold(F.col("text")).as("t"))
-    stacked.join(folded.hint("shuffle_hash"), Seq("doc_id"))
+    // build side = stacked (2 narrow rows per surviving candidate), not
+    // the folded texts — the round-6.0 form built the hash table from
+    // kilobyte text rows and streamed the tiny pair frame (see the same
+    // swap in Lsh.verifyPairs)
+    stacked.hint("shuffle_hash").join(folded, Seq("doc_id"))
       .groupBy("a", "b").agg(
         F.max(F.col("containment")).as("containment"),
         F.count(F.lit(1)).as("npresent"),

@@ -82,9 +82,18 @@ object ClusterScaleProbe {
       // warmup every level: a fresh cluster's executors JIT from zero
       run(math.max(1000L, n / 10))
       spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      run(n)
-      println(f"CLUSTER-SCALE execs=$execs docs=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // in-session repeats (CLUSTER_PROBE_REPS, default 1): the first
+      // timed run at full size carries a first-run-at-size penalty
+      // (executor heap growth, shuffle-file creation) that the bench's
+      // own block schedule amortizes with B2 — min-of-reps mirrors it
+      val reps = sys.env.getOrElse("CLUSTER_PROBE_REPS", "1").toInt
+      for (rep <- 1 to reps) {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        run(n)
+        println(f"CLUSTER-SCALE execs=$execs docs=$n rep=$rep wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+        System.gc()
+      }
       spark.stop()
     }
   }
