@@ -136,7 +136,7 @@ object Similarity {
     // cached: the query and candidate sides of the cell cross-join are the
     // SAME numBlocks-row relation — uncached, the scan + unit projection +
     // collect_list aggregation ran twice (round-6 fix; guide §2.4)
-    val blocks = graft.Caches.track(unit.groupBy("blk")
+    val blocks = graft.Caches.truncate(unit.groupBy("blk")
       .agg(F.collect_list(F.struct(F.col("vec_id"), F.col("unit"))).as("rows")))
     val qSide = blocks.select(F.col("rows").as("qrows"))
     val cSide = blocks.select(F.col("rows").as("crows"))
@@ -217,7 +217,7 @@ object Similarity {
     * hint degrades to AQE's runtime choice. */
   private def eligibleMembers(e: DataFrame, numPlanes: Int, probes: Int,
                               maxBucket: Int, payload: Seq[Column]): DataFrame = {
-    val bucketed = graft.Caches.track((0 until probes)
+    val bucketed = graft.Caches.truncate((0 until probes)
       .map(r => e.select(F.lit(r).as("rep") +:
         rhpBucket(F.col("emb"), numPlanes, r).as("bucket") +: payload: _*))
       .reduce(_ unionByName _))
@@ -509,10 +509,10 @@ object Similarity {
     val spark2 = e.sparkSession
     import spark2.implicits.{localSeqToDatasetHolder, newProductEncoder}
     val centDF = cents.toSeq.toDF("cid", "qc")
-    val unit = graft.Caches.track(e.select(F.col("vec_id"),
+    val unit = graft.Caches.truncate(e.select(F.col("vec_id"),
       quantized(F.col("emb")).as("qv"),
       quantizedUnit(F.col("emb"), F.col("nrm")).as("qu")))
-    val ranked = graft.Caches.track(unit.select(F.col("vec_id"), F.col("qv"))
+    val ranked = graft.Caches.truncate(unit.select(F.col("vec_id"), F.col("qv"))
       .crossJoin(F.broadcast(centDF))
       .select(F.col("vec_id"),
         (-intDot(F.col("qv"), F.col("qc"))).as("nd"), F.col("cid"))
