@@ -79,11 +79,17 @@ class PlanAuditSpec extends SparkSpec {
   test("embedding queries: no driver-side collect in any oracle'd plan") {
     // a collect-based layout would appear as a LocalTableScan/broadcast of
     // the whole vector table built on the driver; the blocked/bucketed
-    // layouts must keep the candidate side in the scan
+    // layouts must keep the candidate side cluster-side: either directly
+    // in the parquet scan, or (round 6: operator caches are lazy
+    // localCheckpoints, not columnar persists) behind a distributed
+    // checkpoint leaf — "Scan ExistingRDD" is executor-resident blocks
+    // fed by the scan, NOT driver rows (those print LocalTableScan /
+    // LocalRelation)
     for (name <- Seq("q_embedding_top1", "q_embedding_dedup", "q_ann_lsh_top1")) {
       val p = plan(q(name))
       assert(!p.contains("LocalTableScan"), s"$name:\n$p")
-      assert(p.contains("Scan parquet") || p.contains("BatchScan"), s"$name:\n$p")
+      assert(p.contains("Scan parquet") || p.contains("BatchScan")
+        || p.contains("Scan ExistingRDD"), s"$name:\n$p")
     }
   }
 
